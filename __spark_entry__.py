@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (BM25 top-10 over the documents
+table at sf0.001).  ``queries()`` exposes one callable per implemented
+operator from SURVEY.md §2 (plus the training-data-pipeline operators);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry.  Implementations live in
+``bayesian_bm25_spark.entry_queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from bayesian_bm25_spark.entry_queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: inverted-index BM25 top-10 (rank-pinned) on sf0.001."""
+    return SPARK_QUERIES["bm25_topk"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator; see SURVEY.md §2."""
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL for each SQL-expressible entry.
+
+    Entries absent here (compressed_postings, isotonic_calibrate,
+    multimodal_features, attention_fusion) are non-SQL-expressible
+    (binary codec, PAVA, stub decode, seeded-matrix forward) and get the
+    driver's rows-only check; their exactness is covered by pytest
+    goldens against the numpy kernel.
     """
-    return {}
+    return dict(ORACLE_SQL)

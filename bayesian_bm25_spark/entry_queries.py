@@ -1,0 +1,1061 @@
+"""Driver-contract query suite: Spark builders + DuckDB oracle SQL.
+
+Each entry runs the same computation twice — once through the engine's
+Spark operators, once as self-contained ANSI SQL that DuckDB executes on
+the same parquet tables — and must match on row count, schema, and
+order-insensitive value hash.  Floats are rounded to 6 decimals on BOTH
+sides so 1e-15-level engine-math differences can't flip the hash, and
+every rank uses the rounded score with the pinned (score desc, id asc)
+tie-break.
+
+Conventions:
+- table views available to the SQL: region nation customer supplier part
+  orders lineitem events documents embeddings
+- Spark side reads ``{sf_dir}/{table}.parquet``
+- column names are aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bayesian_bm25_spark.functions import columns as C
+from bayesian_bm25_spark.operators import query as Q
+from bayesian_bm25_spark.operators.index_build import IndexConfig, compute_postings
+
+# Fixed transform parameters for the SQL-checkable probability path
+# (auto-estimation is seeded-RNG driver logic, checked in pytest instead).
+P_ALPHA, P_BETA, P_BR = 1.0, 1.0, 0.05
+K1, B = 1.2, 0.75
+EPS = 1e-10
+
+# ---------------------------------------------------------------------
+# shared helpers (Spark side)
+# ---------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", C.tokenize(F.col("text")).alias("tokens"), "lang", "text")
+        .withColumn("doc_len", F.size("tokens").cast("long"))
+    )
+
+
+def _corpus_postings(spark: SparkSession, sf_dir: str, method: str = "lucene") -> tuple:
+    docs = _docs_tokens(spark, sf_dir)
+    row = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["a"])
+    postings = compute_postings(docs, n_docs, avgdl, IndexConfig(method=method))
+    return docs, postings, n_docs, avgdl
+
+
+def _doc_queries(docs: DataFrame) -> DataFrame:
+    """Deterministic query set: every 50th doc's first 5 tokens."""
+    return docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), F.slice("tokens", 1, 5).alias("terms")
+    )
+
+
+def _ranked_topk(scored: DataFrame, value_col: str, k: int = 10) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col(value_col), 6)), F.asc("doc_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# SQL fragment: tokenized docs + corpus stats (shared by several oracles)
+SQL_TOKS = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(len(ts))::DOUBLE AS avgdl FROM toks
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl)::BIGINT AS dl
+  FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM toks)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+post AS (
+  SELECT tf.term, tf.doc_id, tf.tf, tf.dl, dfreq.df,
+         ln(1e0 + (s.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+         * (tf.tf * 2.2e0 / (tf.tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * tf.dl / s.avgdl)))
+           AS impact
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats s
+),
+qt AS (
+  SELECT query_id, term, count(*)::BIGINT AS qtf
+  FROM (SELECT doc_id AS query_id, unnest(ts[1:5]) AS term
+        FROM toks WHERE doc_id % 50 = 0)
+  GROUP BY query_id, term
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id, sum(p.impact * qt.qtf) AS score,
+         count(*)::BIGINT AS tf_match, any_value(p.dl) AS dl
+  FROM qt JOIN post p ON qt.term = p.term
+  GROUP BY qt.query_id, p.doc_id
+)
+"""
+
+_SIG = "(CASE WHEN {x} >= 0 THEN 1/(1+exp(-({x}))) ELSE exp({x})/(1+exp({x})) END)"
+
+
+def _sql_clamp(x: str) -> str:
+    return f"least(greatest({x}, 1e-10), 1e0 - 1e-10)"
+
+
+def _sql_posterior(lik: str, prior: str, br: float) -> str:
+    p1 = _sql_clamp(f"(({lik})*({prior})) / (({lik})*({prior}) + (1e0-({lik}))*(1e0-({prior})))")
+    return _sql_clamp(f"(({p1})*{br}e0) / (({p1})*{br}e0 + (1e0-({p1}))*(1e0-{br}e0))")
+
+
+# ---------------------------------------------------------------------
+# Group A — engine core (documents table)
+# ---------------------------------------------------------------------
+
+
+def q_doc_stats(spark, sf_dir):
+    return _docs_tokens(spark, sf_dir).select(
+        "doc_id",
+        "doc_len",
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_terms"),
+    )
+
+
+SQL_DOC_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT doc_id, len(ts)::BIGINT AS doc_len,
+       len(list_distinct(ts))::BIGINT AS n_distinct_terms
+FROM toks
+"""
+
+
+def q_term_df_top100(spark, sf_dir):
+    docs = _docs_tokens(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SQL_TERM_DF_TOP100 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM toks)
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 100
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    docs, postings, _, _ = _corpus_postings(spark, sf_dir)
+    scored = Q.score_queries(postings, _doc_queries(docs), prune_buckets=False)
+    return _ranked_topk(scored, "score").select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH {SQL_TOKS},
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score_r FROM ranked WHERE rank <= 10
+"""
+
+
+def q_bm25_topk_robertson(spark, sf_dir):
+    docs, postings, _, _ = _corpus_postings(spark, sf_dir, method="robertson")
+    scored = Q.score_queries(postings, _doc_queries(docs), prune_buckets=False)
+    return _ranked_topk(scored, "score").select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+SQL_BM25_TOPK_ROBERTSON = SQL_BM25_TOPK.replace(
+    "ln(1e0 + (s.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))",
+    "ln((s.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))",
+)
+
+
+def q_probability_topk(spark, sf_dir):
+    from bayesian_bm25_spark.kernel.transform import TransformParams
+
+    docs, postings, _, avgdl = _corpus_postings(spark, sf_dir)
+    params = TransformParams(alpha=P_ALPHA, beta=P_BETA, base_rate=P_BR)
+    scored = Q.with_probability(
+        Q.score_queries(postings, _doc_queries(docs), prune_buckets=False), params, avgdl
+    )
+    return _ranked_topk(scored, "score").select(
+        "query_id", "rank", "doc_id", F.round("probability", 6).alias("prob_r")
+    )
+
+
+_LIK = _SIG.format(x=f"{P_ALPHA} * (scored.score - {P_BETA})")
+_PRIOR = (
+    "least(greatest(0.7e0 * (0.2e0 + 0.7e0 * least(1.0e0, scored.tf_match / 10.0e0))"
+    " + 0.3e0 * (0.3e0 + 0.6e0 * (1e0 - least(1.0e0, abs(scored.dl / s.avgdl - 0.5e0) * 2e0))),"
+    " 0.1e0), 0.9e0)"
+)
+SQL_PROBABILITY_TOPK = f"""
+WITH {SQL_TOKS},
+probs AS (
+  SELECT scored.query_id, scored.doc_id, scored.score,
+         {_sql_posterior(_LIK, _PRIOR, P_BR)} AS probability
+  FROM scored CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id, round(probability, 6) AS prob_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM probs
+)
+SELECT query_id, rank, doc_id, prob_r FROM ranked WHERE rank <= 10
+"""
+
+
+def q_term_stats_wand(spark, sf_dir):
+    _, postings, _, _ = _corpus_postings(spark, sf_dir)
+    stats = postings.groupBy("term").agg(
+        F.first("df").alias("df"), F.max("impact").alias("max_impact")
+    )
+    ub = C.wand_upper_bound(
+        F.col("max_impact"), alpha=P_ALPHA, beta=P_BETA, base_rate=P_BR
+    )
+    return (
+        stats.withColumn("max_impact_r", F.round("max_impact", 6))
+        .withColumn("wand_ub_r", F.round(ub, 6))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+        .select("term", "df", "max_impact_r", "wand_ub_r")
+    )
+
+
+_LIK_UB = _SIG.format(x=f"{P_ALPHA} * (max_impact - {P_BETA})")
+SQL_TERM_STATS_WAND = f"""
+WITH {SQL_TOKS},
+tstats AS (
+  SELECT term, any_value(df) AS df, max(impact) AS max_impact
+  FROM post GROUP BY term
+)
+SELECT term, df, round(max_impact, 6) AS max_impact_r,
+       round({_sql_posterior(_LIK_UB, "0.9e0", P_BR)}, 6) AS wand_ub_r
+FROM tstats
+ORDER BY df DESC, term ASC
+LIMIT 100
+"""
+
+
+def q_block_max(spark, sf_dir):
+    _, postings, _, _ = _corpus_postings(spark, sf_dir)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        postings.where(F.col("df") >= 50)
+        .withColumn("local_rank", F.row_number().over(w) - 1)
+        .withColumn("block_id", (F.col("local_rank") / 128).cast("long"))
+        .groupBy("term", "block_id")
+        .agg(F.round(F.max("impact"), 6).alias("block_max_r"))
+    )
+
+
+SQL_BLOCK_MAX = f"""
+WITH {SQL_TOKS},
+blocked AS (
+  SELECT term, doc_id, impact,
+         ((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) // 128)::BIGINT
+           AS block_id
+  FROM post WHERE df >= 50
+)
+SELECT term, block_id, round(max(impact), 6) AS block_max_r
+FROM blocked GROUP BY term, block_id
+"""
+
+
+# ---------------------------------------------------------------------
+# Group B — fusion / calibration / metrics
+# ---------------------------------------------------------------------
+
+# deterministic pseudo-signals from doc_id (identical arithmetic both sides)
+_P1 = "((doc_id * 7919) % 997 + 0.5e0) / 998.0e0"
+_P2 = "((doc_id * 104729) % 991 + 0.5e0) / 992.0e0"
+
+
+def _signals(spark, sf_dir):
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_P1).alias("p1"), F.expr(_P2).alias("p2")
+    )
+
+
+def q_fusion_ops(spark, sf_dir):
+    s = _signals(spark, sf_dir)
+    arr = F.array("p1", "p2")
+    return s.select(
+        "doc_id",
+        F.round(C.prob_and(arr), 6).alias("and_r"),
+        F.round(C.prob_or(arr), 6).alias("or_r"),
+        F.round(C.prob_not(F.col("p1")), 6).alias("not1_r"),
+        F.round(C.log_odds_conjunction(arr), 6).alias("conj_r"),
+        F.round(C.log_odds_conjunction(arr, weights=[0.7, 0.3]), 6).alias("wconj_r"),
+    )
+
+
+def _sql_logit(p: str) -> str:
+    c = _sql_clamp(p)
+    return f"ln(({c}) / (1 - ({c})))"
+
+
+_SQL_L1, _SQL_L2 = _sql_logit(_P1), _sql_logit(_P2)
+SQL_FUSION_OPS = f"""
+SELECT doc_id,
+  round(exp(ln({_sql_clamp(_P1)}) + ln({_sql_clamp(_P2)})), 6) AS and_r,
+  round(1 - exp(ln(1 - {_sql_clamp(_P1)}) + ln(1 - {_sql_clamp(_P2)})), 6) AS or_r,
+  round({_sql_clamp(f"1 - ({_sql_clamp(_P1)})")}, 6) AS not1_r,
+  round({_SIG.format(x=f"(({_SQL_L1}) + ({_SQL_L2})) / 2e0 * pow(2e0, 0.5e0)")}, 6) AS conj_r,
+  round({_SIG.format(x=f"0.7e0 * ({_SQL_L1}) + 0.3e0 * ({_SQL_L2})")}, 6) AS wconj_r
+FROM documents
+"""
+
+
+def q_fusion_gated(spark, sf_dir):
+    s = _signals(spark, sf_dir)
+    arr = F.array("p1", "p2")
+    return s.select(
+        "doc_id",
+        F.round(C.log_odds_conjunction(arr, gating="relu"), 6).alias("relu_r"),
+        F.round(C.log_odds_conjunction(arr, gating="swish"), 6).alias("swish_r"),
+        F.round(C.log_odds_conjunction(arr, gating="gelu"), 6).alias("gelu_r"),
+    )
+
+
+def _sql_gate(lx: str, kind: str) -> str:
+    if kind == "relu":
+        return f"greatest(0.0e0, {lx})"
+    if kind == "swish":
+        return f"({lx}) * {_SIG.format(x=lx)}"
+    if kind == "gelu":
+        return f"({lx}) * {_SIG.format(x=f'1.702e0 * ({lx})')}"
+    raise ValueError(kind)
+
+
+def _sql_gated_conj(kind: str) -> str:
+    g1, g2 = _sql_gate(_SQL_L1, kind), _sql_gate(_SQL_L2, kind)
+    return _SIG.format(x=f"(({g1}) + ({g2})) / 2e0 * pow(2e0, 0.5e0)")
+
+
+SQL_FUSION_GATED = f"""
+SELECT doc_id,
+  round({_sql_gated_conj("relu")}, 6) AS relu_r,
+  round({_sql_gated_conj("swish")}, 6) AS swish_r,
+  round({_sql_gated_conj("gelu")}, 6) AS gelu_r
+FROM documents
+"""
+
+# cosine-to-first-vector probabilities + binary label
+_SQL_EMB_PROBS = """
+probs AS (
+  SELECT e.vec_id,
+         least(greatest((1e0 + list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])) / 2e0,
+                        1e-10), 1e0 - 1e-10) AS p,
+         (CASE WHEN e.label = 1 THEN 1.0e0 ELSE 0.0e0 END) AS y
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+)
+"""
+
+
+def _emb_probs(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    q0 = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        emb.crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            C.clamp01(
+                (1.0 + C.cosine_similarity(F.col("embedding"), F.col("q_emb"))) / 2.0
+            ).alias("p"),
+            F.when(F.col("label") == 1, 1.0).otherwise(0.0).alias("y"),
+        )
+    )
+
+
+_BIN = "CASE WHEN p <= 0.1 THEN 0 ELSE least(greatest(ceil(p * 10) - 1, 0), 9) END"
+
+
+def q_calibration_metrics(spark, sf_dir):
+    p = _emb_probs(spark, sf_dir)
+    binned = p.withColumn(
+        "bin",
+        F.when(F.col("p") <= 0.1, 0).otherwise(
+            F.least(F.greatest(F.ceil(F.col("p") * 10) - 1, F.lit(0)), F.lit(9))
+        ),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.avg("p").alias("ap"), F.avg("y").alias("ay")
+    )
+    total = p.count()
+    ece = per_bin.agg(
+        F.round(F.sum(F.col("cnt") / total * F.abs(F.col("ap") - F.col("ay"))), 6).alias("ece_r")
+    )
+    other = p.agg(
+        F.round(F.avg(F.pow(F.col("p") - F.col("y"), 2)), 6).alias("brier_r"),
+        F.round(
+            -F.avg(
+                F.col("y") * F.log(F.col("p")) + (1 - F.col("y")) * F.log(1 - F.col("p"))
+            ),
+            6,
+        ).alias("logloss_r"),
+    )
+    return ece.crossJoin(other)
+
+
+SQL_CALIBRATION_METRICS = f"""
+WITH {_SQL_EMB_PROBS},
+binned AS (SELECT *, ({_BIN})::BIGINT AS bin FROM probs),
+per_bin AS (
+  SELECT bin, count(*)::DOUBLE AS cnt, avg(p) AS ap, avg(y) AS ay
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT count(*)::DOUBLE AS n FROM probs)
+SELECT
+  (SELECT round(sum(cnt / tot.n * abs(ap - ay)), 6) FROM per_bin, tot) AS ece_r,
+  (SELECT round(avg((p - y) * (p - y)), 6) FROM probs) AS brier_r,
+  (SELECT round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) FROM probs) AS logloss_r
+"""
+
+
+def q_reliability_diagram(spark, sf_dir):
+    p = _emb_probs(spark, sf_dir)
+    return (
+        p.withColumn(
+            "bin",
+            F.when(F.col("p") <= 0.1, 0)
+            .otherwise(F.least(F.greatest(F.ceil(F.col("p") * 10) - 1, F.lit(0)), F.lit(9)))
+            .cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.round(F.avg("p"), 6).alias("avg_pred_r"),
+            F.round(F.avg("y"), 6).alias("avg_actual_r"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+SQL_RELIABILITY_DIAGRAM = f"""
+WITH {_SQL_EMB_PROBS}
+SELECT ({_BIN})::BIGINT AS bin,
+       round(avg(p), 6) AS avg_pred_r,
+       round(avg(y), 6) AS avg_actual_r,
+       count(*)::BIGINT AS cnt
+FROM probs GROUP BY 1
+"""
+
+
+def q_platt_apply(spark, sf_dir):
+    p = _emb_probs(spark, sf_dir)
+    # fixed (a, b): calibrate logit-space score 2p-1 (the cosine)
+    return p.where(F.col("vec_id") < 200).select(
+        "vec_id", F.round(C.platt(2 * F.col("p") - 1, 1.5, 0.2), 6).alias("platt_r")
+    )
+
+
+SQL_PLATT_APPLY = f"""
+WITH {_SQL_EMB_PROBS}
+SELECT vec_id, round({_SIG.format(x="1.5e0 * (2e0 * p - 1e0) + 0.2e0")}, 6) AS platt_r
+FROM probs WHERE vec_id < 200
+"""
+
+
+# ---------------------------------------------------------------------
+# Group C — similarity search
+# ---------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        C.cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("sim"), 6)), F.asc("doc_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", F.col("doc_id").alias("vec_id"), F.round("sim", 6).alias("sim_r"))
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
+),
+ranked AS (
+  SELECT query_id, vec_id, round(sim, 6) AS sim_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, sim_r FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------
+# Group D — dedup / text analysis
+# ---------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact-duplicate groups by md5 of the lowercased token stream."""
+    docs = _docs_tokens(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(F.concat_ws(" ", "tokens")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT md5(array_to_string(ts, ' ')) AS text_hash,
+       count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc_id
+FROM toks GROUP BY 1
+"""
+
+_N_MINHASH = 8
+_SHINGLE_W = 3
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 3-token shingles per doc (word shingling for MinHash)."""
+    n = _SHINGLE_W
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures: k-th hash = min(md5(k || '|' || shingle)).
+
+    md5 hex strings compare lexicographically the same everywhere, so
+    the signature is engine-independent — the trick that makes MinHash
+    oracle-checkable in SQL.
+    """
+    docs = _docs_tokens(spark, sf_dir)
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(_N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_shingles() -> str:
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+{_SHINGLE_W - 1}], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(ts) - {_SHINGLE_W - 2}, 1))) AS t(i)
+)
+"""
+
+
+SQL_MINHASH_SIGNATURES = (
+    "WITH "
+    + _sql_shingles()
+    + "SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(_N_MINHASH)
+    )
+    + " FROM shingles GROUP BY doc_id"
+)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs: 4 bands × 2 rows; pair = same band bucket."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = []
+    for band in range(_N_MINHASH // 2):
+        a, b = f"mh{2 * band}", f"mh{2 * band + 1}"
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("|", F.col(a), F.col(b))).alias("bucket"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    left = allb.alias("l")
+    right = allb.alias("r")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = (
+    "WITH "
+    + _sql_shingles()
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(_N_MINHASH))
+    + " FROM shingles GROUP BY doc_id), bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5(mh{2 * band} || '|' || mh{2 * band + 1}) AS bucket FROM sig"
+        for band in range(_N_MINHASH // 2)
+    )
+    + ") SELECT DISTINCT l.doc_id::BIGINT AS a, r.doc_id::BIGINT AS b "
+    "FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket "
+    "WHERE l.doc_id < r.doc_id"
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for small-id doc pairs (near-dup scoring)."""
+    docs = _docs_tokens(spark, sf_dir).where(F.col("doc_id") < 60)
+    sh = _shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(counts.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jaccard_r", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .where(F.col("jaccard_r") >= 0.01)
+        .select("a", "b", "jaccard_r")
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH "
+    + _sql_shingles().replace("FROM documents", "FROM documents WHERE doc_id < 60")
+    + """,
+counts AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS inter
+  FROM shingles l JOIN shingles r ON l.shingle = r.shingle
+  WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+)
+SELECT inter.a::BIGINT AS a, inter.b::BIGINT AS b,
+       round(inter.inter / (ca.n + cb.n - inter.inter), 6) AS jaccard_r
+FROM inter JOIN counts ca ON inter.a = ca.doc_id
+           JOIN counts cb ON inter.b = cb.doc_id
+WHERE round(inter.inter / (ca.n + cb.n - inter.inter), 6) >= 0.01
+"""
+)
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
+
+
+def q_lang_stopword_ratio(spark, sf_dir):
+    """Language-ID heuristic: English stopword ratio per doc."""
+    docs = _docs_tokens(spark, sf_dir)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_sw = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(sw, t)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(n_sw / F.greatest(F.col("doc_len"), F.lit(1)).cast("double"), 6).alias(
+            "en_ratio_r"
+        ),
+    )
+
+
+SQL_LANG_STOPWORD_RATIO = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT doc_id, lang,
+       round(len(list_filter(ts, x -> list_contains({_STOPWORDS!r}, x)))
+             / greatest(len(ts), 1)::DOUBLE, 6) AS en_ratio_r
+FROM toks
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features: token counts, type-token ratio, mean token length."""
+    docs = _docs_tokens(spark, sf_dir)
+    n_distinct = F.size(F.array_distinct("tokens"))
+    total_chars = F.aggregate(
+        F.transform(F.col("tokens"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.col("doc_len").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(n_distinct / F.greatest(F.col("doc_len"), F.lit(1)).cast("double"), 6).alias("ttr_r"),
+        F.round(total_chars / F.greatest(F.col("doc_len"), F.lit(1)).cast("double"), 6).alias(
+            "avg_token_len_r"
+        ),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+       len(list_distinct(ts))::BIGINT AS n_distinct,
+       round(len(list_distinct(ts)) / greatest(len(ts), 1)::DOUBLE, 6) AS ttr_r,
+       round(list_sum(list_transform(ts, x -> length(x)))
+             / greatest(len(ts), 1)::DOUBLE, 6) AS avg_token_len_r
+FROM toks
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint: md5 over lang + text prefix."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.substring("text", 1, 64))).alias("fp"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(lang || ':' || substr(text, 1, 64)) AS fp FROM documents
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _docs_tokens(spark, sf_dir)
+    ex = docs.select(F.explode("tokens").alias("term"))
+    return docs.agg(
+        F.sum("doc_len").alias("total_tokens"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl_r"),
+    ).crossJoin(ex.agg(F.countDistinct("term").alias("n_terms")))
+
+
+SQL_TOKEN_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT (SELECT sum(len(ts))::BIGINT FROM toks) AS total_tokens,
+       (SELECT round(avg(len(ts)), 6) FROM toks) AS avgdl_r,
+       (SELECT count(DISTINCT term)::BIGINT
+        FROM (SELECT unnest(ts) AS term FROM toks)) AS n_terms
+"""
+
+
+# ---------------------------------------------------------------------
+# Group E — generic relational operators (TPC-H-ish + events)
+# ---------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue_r"))
+    )
+    w = Window.orderBy(F.desc("revenue_r"), F.asc("c_custkey"))
+    return rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+
+SQL_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS revenue_r
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+)
+SELECT c_custkey, c_name, revenue_r,
+       row_number() OVER (ORDER BY revenue_r DESC, c_custkey ASC)::BIGINT AS rank
+FROM rev QUALIFY rank <= 10
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue_r"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 4) AS revenue_r, count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------
+# Rows-only entries (no SQL oracle — non-SQL-expressible paths)
+# ---------------------------------------------------------------------
+
+
+def q_compressed_postings(spark, sf_dir):
+    """Distributed posting-list encode/decode round-trip (codec + salted
+    merge are binary/iterative — checked by pytest goldens; here the
+    driver gets a rows-only sanity check)."""
+    import pandas as pd
+
+    from bayesian_bm25_spark.kernel.postings_codec import (
+        decode_posting_list,
+        encode_posting_list,
+    )
+
+    _, postings, _, _ = _corpus_postings(spark, sf_dir)
+
+    def roundtrip(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        buf = encode_posting_list(
+            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["impact"].to_numpy()
+        )
+        d, t, i = decode_posting_list(buf)
+        ok = bool(
+            (d == pdf["doc_id"].to_numpy()).all() and (t == pdf["tf"].to_numpy()).all()
+        )
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "df": [len(pdf)],
+                "payload_bytes": [len(buf)],
+                "roundtrip_ok": [ok],
+            }
+        )
+
+    return postings.groupBy("term").applyInPandas(
+        roundtrip, schema="term string, df long, payload_bytes long, roundtrip_ok boolean"
+    )
+
+
+def q_isotonic_calibrate(spark, sf_dir):
+    """Driver-fit PAVA + distributed interpolation (pandas UDF with
+    broadcast breakpoints) — inherently sequential fit, rows-only."""
+    import numpy as np
+
+    from bayesian_bm25_spark.functions.pudfs import isotonic_udf
+    from bayesian_bm25_spark.kernel.calibrate import pava_fit
+
+    probs = _emb_probs(spark, sf_dir)
+    sample = probs.select("p", "y").collect()
+    bx, by = pava_fit(
+        np.array([r["p"] for r in sample]), np.array([r["y"] for r in sample])
+    )
+    iso = isotonic_udf(bx, by)
+    return probs.select("vec_id", F.round(iso(F.col("p")), 6).alias("iso_p_r"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata, batch
+    feature extraction via mapInPandas.  Decode is a deterministic stub
+    (image/audio libs are not in this container — see
+    operators.multimodal); the Spark-side schema/partitioning/UDF shape
+    is real."""
+    from bayesian_bm25_spark.operators.multimodal import extract_stub_features
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"), F.lit("text/plain").alias("mime")
+    )
+    return extract_stub_features(docs)
+
+
+def q_attention_fusion(spark, sf_dir):
+    """Seeded attention-weighted fusion over two signals (numpy forward
+    inside a pandas UDF with broadcast W, b)."""
+    from bayesian_bm25_spark.functions.pudfs import attention_fusion_udf
+    from bayesian_bm25_spark.kernel.combine import AttentionLogOddsWeights
+
+    att = AttentionLogOddsWeights(2, 3, seed=0)
+    fuse = attention_fusion_udf(att.W, att.b, att.alpha)
+    s = _signals(spark, sf_dir)
+
+    feats = s.withColumn("f1", F.col("p1") * 2 - 1).withColumn(
+        "f2", F.col("p2") * 2 - 1
+    ).withColumn("f3", F.lit(0.5))
+    return feats.select(
+        "doc_id", F.round(fuse("p1", "p2", "f1", "f2", "f3"), 6).alias("att_fused_r")
+    )
+
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_stats": q_doc_stats,
+    "term_df_top100": q_term_df_top100,
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_robertson": q_bm25_topk_robertson,
+    "probability_topk": q_probability_topk,
+    "term_stats_wand": q_term_stats_wand,
+    "block_max": q_block_max,
+    "fusion_ops": q_fusion_ops,
+    "fusion_gated": q_fusion_gated,
+    "calibration_metrics": q_calibration_metrics,
+    "reliability_diagram": q_reliability_diagram,
+    "platt_apply": q_platt_apply,
+    "cosine_topk": q_cosine_topk,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_stopword_ratio": q_lang_stopword_ratio,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_stats": q_token_stats,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_sessions": q_events_sessions,
+    "revenue_by_nation": q_revenue_by_nation,
+    # rows-only (non-SQL-expressible)
+    "compressed_postings": q_compressed_postings,
+    "isotonic_calibrate": q_isotonic_calibrate,
+    "multimodal_features": q_multimodal_features,
+    "attention_fusion": q_attention_fusion,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_stats": SQL_DOC_STATS,
+    "term_df_top100": SQL_TERM_DF_TOP100,
+    "bm25_topk": SQL_BM25_TOPK,
+    "bm25_topk_robertson": SQL_BM25_TOPK_ROBERTSON,
+    "probability_topk": SQL_PROBABILITY_TOPK,
+    "term_stats_wand": SQL_TERM_STATS_WAND,
+    "block_max": SQL_BLOCK_MAX,
+    "fusion_ops": SQL_FUSION_OPS,
+    "fusion_gated": SQL_FUSION_GATED,
+    "calibration_metrics": SQL_CALIBRATION_METRICS,
+    "reliability_diagram": SQL_RELIABILITY_DIAGRAM,
+    "platt_apply": SQL_PLATT_APPLY,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "lang_stopword_ratio": SQL_LANG_STOPWORD_RATIO,
+    "text_quality": SQL_TEXT_QUALITY,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "token_stats": SQL_TOKEN_STATS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+}

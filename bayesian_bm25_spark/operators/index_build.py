@@ -1,0 +1,417 @@
+"""Inverted-index build: tokenize → postings → stats → bounds → params.
+
+Build DAG (each stage a parquet checkpoint with a lineage manifest, so
+the build resumes from any boundary — north rule):
+
+    pages(url, warc_ts, html, text, lang)
+      └─ docs:      tokenize (Arrow p_udf-free: pure Column split/filter)
+      └─ postings:  explode tokens → groupBy(term, doc_id) tf  [shuffle 1]
+                    → join df per term [shuffle 2, AQE-broadcast when small]
+                    → eager impact column (codegen) → laid out by
+                    term_bucket = pmod(xxhash64(term), n_buckets)
+      └─ term_stats: df / max_impact per term        (from postings)
+      └─ block_max:  per-(term, block) max impact    (BMW bound table)
+      └─ segments/posting_lists: salted groupBy(term, salt) →
+                    sorted delta+varbyte segments → merge stage  [north
+                    rule storage tier; queries default to flat postings]
+      └─ params.json: seeded pseudo-query sampling → α/β/base-rate on
+                    the driver (numpy-exact, mirrors reference protocol)
+
+Skew: the Zipf head ("the"-like terms) is handled twice — the flat
+postings shuffle relies on AQE skew-join splitting, and the compressed
+build salts ``groupBy(term, salt)`` so no single task collects a hot
+term's full list before the merge stage stitches segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bayesian_bm25_spark.functions import columns as C
+from bayesian_bm25_spark.kernel.bm25 import estimate_alpha_beta, estimate_base_rate
+from bayesian_bm25_spark.kernel.postings_codec import (
+    encode_posting_list,
+    merge_posting_lists,
+)
+from bayesian_bm25_spark.kernel.transform import TransformParams
+from bayesian_bm25_spark.plans import checkpoint as ckpt
+
+
+@dataclass
+class IndexConfig:
+    k1: float = 1.2
+    b: float = 0.75
+    method: str = "lucene"  # robertson | lucene | atire
+    alpha: float | None = None
+    beta: float | None = None
+    base_rate: float | str | None = None  # None | "auto" | float
+    base_rate_method: str = "percentile"
+    block_size: int = 128
+    n_buckets: int = 32  # term-hash layout buckets (partition pruning)
+    n_salts: int = 8  # salt factor for the compressed posting-list build
+    build_compressed: bool = True
+    pseudo_query_seed: int = 42
+    pseudo_query_sample: int = 50
+
+    def to_dict(self) -> dict:
+        return {k: getattr(self, k) for k in self.__dataclass_fields__}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexConfig":
+        return cls(**{k: v for k, v in d.items() if k in cls.__dataclass_fields__})
+
+
+@dataclass
+class BM25Index:
+    """Handle over the built index artifacts."""
+
+    spark: SparkSession
+    path: str
+    config: IndexConfig
+    postings: DataFrame
+    term_stats: DataFrame
+    block_max: DataFrame
+    doc_stats: DataFrame
+    n_docs: int
+    avgdl: float
+    params: TransformParams
+    posting_lists: DataFrame | None = None
+    build_metrics: dict = field(default_factory=dict)
+
+
+def tokenize_pages(pages: DataFrame) -> DataFrame:
+    """pages → docs(doc_id, url, tokens, doc_len).
+
+    doc_id is taken from the input when present; otherwise assigned as a
+    dense rank over url (a global sort — at true web scale prefer carrying
+    a precomputed id through the ingest pipeline instead)."""
+    if "doc_id" in pages.columns:
+        base = pages
+    else:
+        base = pages.withColumn(
+            "doc_id", F.row_number().over(Window.orderBy("url")).cast("long") - 1
+        )
+    return base.select(
+        "doc_id",
+        "url",
+        C.tokenize(F.col("text")).alias("tokens"),
+    ).withColumn("doc_len", F.size("tokens").cast("long"))
+
+
+def compute_postings(
+    docs: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig | None = None
+) -> DataFrame:
+    """Lazy postings plan from docs(doc_id, tokens, doc_len).
+
+    explode → groupBy(term, doc) tf → per-term df join (AQE picks
+    broadcast when the term table is small) → eager impact column
+    (pure codegen) → term-bucket layout column for partition pruning.
+    """
+    cfg = cfg or IndexConfig()
+    tf = (
+        docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_per_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(df_per_term, "term")
+        .withColumn(
+            "impact",
+            C.bm25_impact(
+                F.col("tf"),
+                F.col("doc_len"),
+                F.col("df"),
+                n_docs,
+                avgdl,
+                k1=cfg.k1,
+                b=cfg.b,
+                method=cfg.method,
+            ),
+        )
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)))
+        .select("term_bucket", "term", "doc_id", "tf", "doc_len", "df", "impact")
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    path: str,
+    config: IndexConfig | None = None,
+    force: bool = False,
+) -> BM25Index:
+    """Build (or resume building) the index at ``path``."""
+    cfg = config or IndexConfig()
+    os.makedirs(path, exist_ok=True)
+    t_start = time.time()
+
+    docs_dir = os.path.join(path, "docs")
+    docs = ckpt.run_stage(
+        spark,
+        docs_dir,
+        lambda: tokenize_pages(pages),
+        stage="docs",
+        force=force,
+    )
+
+    stats_file = os.path.join(path, "corpus_stats.json")
+    if os.path.exists(stats_file) and not force:
+        with open(stats_file) as f:
+            stats = json.load(f)
+    else:
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        stats = {"n_docs": int(row["n_docs"]), "avgdl": float(row["avgdl"])}
+        with open(stats_file, "w") as f:
+            json.dump(stats, f)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    postings_dir = os.path.join(path, "postings")
+    postings = ckpt.run_stage(
+        spark,
+        postings_dir,
+        lambda: compute_postings(docs, n_docs, avgdl, cfg),
+        stage="postings",
+        inputs=[docs_dir],
+        partition_by=["term_bucket"],
+        force=force,
+    )
+
+    term_stats_dir = os.path.join(path, "term_stats")
+    term_stats = ckpt.run_stage(
+        spark,
+        term_stats_dir,
+        lambda: postings.groupBy("term").agg(
+            F.first("term_bucket").alias("term_bucket"),
+            F.first("df").alias("df"),
+            F.max("impact").alias("max_impact"),
+        ),
+        stage="term_stats",
+        inputs=[postings_dir],
+        force=force,
+    )
+
+    block_max_dir = os.path.join(path, "block_max")
+
+    def build_block_max() -> DataFrame:
+        w = Window.partitionBy("term").orderBy("doc_id")
+        return (
+            postings.withColumn("local_rank", F.row_number().over(w) - 1)
+            .withColumn("block_id", (F.col("local_rank") / cfg.block_size).cast("long"))
+            .groupBy("term", "block_id")
+            .agg(F.max("impact").alias("block_max_impact"))
+        )
+
+    block_max = ckpt.run_stage(
+        spark,
+        block_max_dir,
+        build_block_max,
+        stage="block_max",
+        inputs=[postings_dir],
+        force=force,
+    )
+
+    doc_stats_dir = os.path.join(path, "doc_stats")
+    doc_stats = ckpt.run_stage(
+        spark,
+        doc_stats_dir,
+        lambda: docs.select("doc_id", "url", "doc_len"),
+        stage="doc_stats",
+        inputs=[docs_dir],
+        force=force,
+    )
+
+    posting_lists = None
+    if cfg.build_compressed:
+        posting_lists = _build_compressed_lists(spark, postings, path, cfg, force)
+
+    params = _estimate_params(spark, docs, postings, cfg, n_docs)
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"params": params.to_dict(), "config": cfg.to_dict()}, f, indent=2)
+
+    return BM25Index(
+        spark=spark,
+        path=path,
+        config=cfg,
+        postings=postings,
+        term_stats=term_stats,
+        block_max=block_max,
+        doc_stats=doc_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        params=params,
+        posting_lists=posting_lists,
+        build_metrics={"build_wall_sec": time.time() - t_start},
+    )
+
+
+_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("salt", LongType(), False),
+        StructField("df_partial", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+_LIST_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("df", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def _build_compressed_lists(
+    spark: SparkSession, postings: DataFrame, path: str, cfg: IndexConfig, force: bool
+) -> DataFrame:
+    """Two-phase salted posting-list construction (north rule).
+
+    Phase 1 groups by (term, salt(doc_id)) so the Zipf head never lands in
+    one task; each group emits a sorted delta+varbyte segment with its
+    partial df.  Phase 2 groups by term and stitches the (disjoint)
+    segments into the global list.  Both phases are Arrow-batched
+    ``applyInPandas`` — no per-row Python.
+    """
+    seg_dir = os.path.join(path, "segments")
+    list_dir = os.path.join(path, "posting_lists")
+
+    def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        payload = encode_posting_list(
+            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["impact"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "salt": [int(pdf["salt"].iloc[0])],
+                "df_partial": [len(pdf)],
+                "payload": [payload],
+            }
+        )
+
+    def build_segments() -> DataFrame:
+        salted = postings.withColumn(
+            "salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts))
+        )
+        return salted.groupBy("term", "salt").applyInPandas(
+            encode_segment, schema=_SEGMENT_SCHEMA
+        )
+
+    segments = ckpt.run_stage(
+        spark,
+        seg_dir,
+        build_segments,
+        stage="segments",
+        inputs=[os.path.join(path, "postings")],
+        force=force,
+    )
+
+    def merge_segments(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = merge_posting_lists(list(pdf["payload"]))
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "df": [int(pdf["df_partial"].sum())],
+                "payload": [merged],
+            }
+        )
+
+    return ckpt.run_stage(
+        spark,
+        list_dir,
+        lambda: segments.groupBy("term").applyInPandas(merge_segments, schema=_LIST_SCHEMA),
+        stage="posting_lists",
+        inputs=[seg_dir],
+        force=force,
+    )
+
+
+def _estimate_params(
+    spark: SparkSession, docs: DataFrame, postings: DataFrame, cfg: IndexConfig, n_docs: int
+) -> TransformParams:
+    """Seeded pseudo-query sampling → α/β/base-rate, mirroring the
+    reference protocol exactly (reference scorer.py:287-337).
+
+    The RNG runs on the driver over the ordered doc_id range
+    (``default_rng(seed).choice(n, 50, replace=False)``); the 50 pseudo
+    queries are scored in ONE distributed batch; the nonzero score arrays
+    come back to the driver for exact median/std/percentile math.
+    """
+    import numpy as np
+
+    from bayesian_bm25_spark.operators import query as Q
+
+    if cfg.alpha is not None and cfg.beta is not None and not isinstance(cfg.base_rate, str):
+        return TransformParams(alpha=cfg.alpha, beta=cfg.beta, base_rate=cfg.base_rate)
+
+    rng = np.random.default_rng(cfg.pseudo_query_seed)
+    sample_ids = [int(i) for i in rng.choice(n_docs, size=min(n_docs, cfg.pseudo_query_sample), replace=False)]
+    sampled = (
+        docs.where(F.col("doc_id").isin(sample_ids))
+        .select("doc_id", F.slice("tokens", 1, 5).alias("terms"))
+        .collect()
+    )
+    tokens_by_id = {int(r["doc_id"]): list(r["terms"]) for r in sampled}
+    queries = [
+        (qid, tokens_by_id[did])
+        for qid, did in enumerate(sample_ids)
+        if tokens_by_id.get(did)
+    ]
+    if not queries:
+        return TransformParams(alpha=cfg.alpha or 1.0, beta=cfg.beta or 0.0)
+    qdf = spark.createDataFrame(queries, schema="query_id long, terms array<string>")
+    scored = Q.score_queries(postings, qdf, prune_buckets=False)
+    rows = scored.where(F.col("score") > 0).select("query_id", "score").collect()
+    per_query: dict[int, list[float]] = {}
+    for r in rows:
+        per_query.setdefault(int(r["query_id"]), []).append(float(r["score"]))
+    per_query_scores = [np.array(v) for _, v in sorted(per_query.items())]
+
+    alpha, beta = estimate_alpha_beta(per_query_scores, cfg.alpha, cfg.beta)
+    base_rate: float | None = None
+    if cfg.base_rate == "auto":
+        base_rate = estimate_base_rate(per_query_scores, n_docs, cfg.base_rate_method)
+    elif isinstance(cfg.base_rate, (int, float)):
+        base_rate = float(cfg.base_rate)
+    return TransformParams(alpha=alpha, beta=beta, base_rate=base_rate)
+
+
+def load_index(spark: SparkSession, path: str) -> BM25Index:
+    """Re-open a built index from its checkpoints (no recompute)."""
+    with open(os.path.join(path, "params.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(path, "corpus_stats.json")) as f:
+        stats = json.load(f)
+    cfg = IndexConfig.from_dict(meta["config"])
+    pl_dir = os.path.join(path, "posting_lists")
+    return BM25Index(
+        spark=spark,
+        path=path,
+        config=cfg,
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+        block_max=spark.read.parquet(os.path.join(path, "block_max")),
+        doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
+        n_docs=stats["n_docs"],
+        avgdl=stats["avgdl"],
+        params=TransformParams.from_dict(meta["params"]),
+        posting_lists=spark.read.parquet(pl_dir) if ckpt.is_complete(pl_dir) else None,
+    )

@@ -1,0 +1,236 @@
+"""Query path: BM25 scoring join, top-k, dense probabilities, WAND gates.
+
+Spark lifecycle of a query batch (SURVEY.md §3.1):
+
+    queries(query_id, terms) → explode+dedupe terms (qtf weights)
+      → [shuffle 1] join postings on term   (query side broadcast — it is
+        always tiny relative to the index)
+      → [shuffle 2] groupBy(query_id, doc_id).sum(impact·qtf)
+      → probability column expressions (pure codegen, no Python)
+      → [shuffle 3] per-query window top-k with pinned tie-break
+        (score desc, doc_id asc)
+
+Scale notes:
+- ``doc_len`` is denormalized into the postings rows at build time, so
+  scoring needs NO join against a per-doc stats table (at 10^12 docs that
+  join would dwarf everything else).
+- The postings parquet is laid out by ``term_bucket``; the scoring join
+  first prunes buckets to those containing query terms, so a 100-term
+  query batch reads a fraction of the index (partition pruning = the
+  Spark analog of posting-list lookup).
+- Aggregation is partial (map-side combine) before the shuffle; AQE
+  handles Zipf skew on hot terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bayesian_bm25_spark.functions import columns as C
+from bayesian_bm25_spark.kernel.transform import TransformParams
+
+
+def query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, term, qtf): distinct query terms with multiplicities.
+
+    Duplicate query tokens contribute once per occurrence to the score
+    (qtf weight) but only once to the distinct-match count used by the
+    tf prior (reference scorer.py:592-601).
+    """
+    return (
+        queries.select("query_id", F.explode("terms").alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+
+def prune_query_terms_buckets(postings: DataFrame, qterms: DataFrame, n_buckets: int) -> DataFrame:
+    """Partition-prune the postings scan to buckets containing query terms."""
+    buckets = [
+        r["b"]
+        for r in qterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    ]
+    return postings.where(F.col("term_bucket").isin(buckets))
+
+
+def score_queries(
+    postings: DataFrame,
+    queries: DataFrame,
+    *,
+    n_buckets: int | None = None,
+    prune_buckets: bool = True,
+) -> DataFrame:
+    """(query_id, doc_id, score, tf_match, doc_len) for every matching doc.
+
+    Inner-join semantics: docs with score 0 never appear (the reference's
+    ``scores > 0`` active mask falls out of the join for free,
+    SURVEY.md §4 item 2).
+    """
+    qt = query_terms(queries)
+    src = postings
+    if prune_buckets and n_buckets and "term_bucket" in postings.columns:
+        src = prune_query_terms_buckets(postings, qt, n_buckets)
+    joined = src.join(F.broadcast(qt), "term")
+    return joined.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("impact") * F.col("qtf")).alias("score"),
+        F.count(F.lit(1)).alias("tf_match"),
+        F.first("doc_len").alias("doc_len"),
+    )
+
+
+def with_probability(
+    scored: DataFrame, params: TransformParams, avgdl: float, prior: F.Column | None = None
+) -> DataFrame:
+    """Attach the calibrated probability column (pure Column math)."""
+    prob = C.score_to_probability(
+        F.col("score"),
+        F.col("tf_match").cast("double"),
+        F.col("doc_len").cast("double") / F.lit(float(avgdl)),
+        alpha=params.alpha,
+        beta=params.beta,
+        base_rate=params.base_rate,
+        mode=params.mode,
+        prior=prior,
+    )
+    return scored.withColumn("probability", F.when(F.col("score") > 0.0, prob).otherwise(F.lit(0.0)))
+
+
+def topk(
+    scored: DataFrame,
+    k: int = 10,
+    order_by: str = "score",
+) -> DataFrame:
+    """Per-query top-k with the pinned deterministic tie-break
+    (order_by desc, doc_id asc) — rank-identity requires this on both the
+    Spark and the oracle side."""
+    w = Window.partitionBy("query_id").orderBy(F.desc(order_by), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def retrieve(
+    postings: DataFrame,
+    queries: DataFrame,
+    params: TransformParams,
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Top-k retrieval with probabilities:
+    (query_id, rank, doc_id, score, probability)."""
+    scored = score_queries(postings, queries, n_buckets=n_buckets)
+    ranked = topk(scored, k=k)
+    return with_probability(ranked, params, avgdl).select(
+        "query_id", "rank", "doc_id", "score", "probability"
+    )
+
+
+def get_probabilities(
+    postings: DataFrame,
+    queries: DataFrame,
+    params: TransformParams,
+    avgdl: float,
+    all_docs: DataFrame | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Probabilities for every matching doc; with ``all_docs`` given
+    (doc_id column), densifies to every (query, doc) pair with 0.0 fill —
+    the reference's dense ``get_probabilities`` (scorer.py:564-590).
+
+    The dense form is for parity/testing only: at web scale a q×N dense
+    cross join is exactly what the sparse inner-join design avoids.
+    """
+    scored = with_probability(
+        score_queries(postings, queries, n_buckets=n_buckets), params, avgdl
+    )
+    if all_docs is None:
+        return scored.select("query_id", "doc_id", "score", "probability")
+    dense = queries.select("query_id").crossJoin(all_docs.select("doc_id"))
+    return (
+        dense.join(scored, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            F.coalesce("probability", F.lit(0.0)).alias("probability"),
+        )
+    )
+
+
+# -- WAND / BMW bound gates ---------------------------------------------
+
+
+def term_wand_bounds(term_stats: DataFrame, params: TransformParams, p_max: float = 0.9) -> DataFrame:
+    """term_stats + ``wand_ub``: safe per-term probability upper bound."""
+    return term_stats.withColumn(
+        "wand_ub",
+        C.wand_upper_bound(
+            F.col("max_impact"),
+            alpha=params.alpha,
+            beta=params.beta,
+            base_rate=params.base_rate,
+            p_max=p_max,
+        ),
+    )
+
+
+def block_bayesian_bounds(block_max: DataFrame, params: TransformParams, p_max: float = 0.9) -> DataFrame:
+    """block_max + ``block_ub``: per-(term, block) Bayesian bound
+    (reference Corollary 7.4.2) — tighter than the term-level WAND bound."""
+    return block_max.withColumn(
+        "block_ub",
+        C.wand_upper_bound(
+            F.col("block_max_impact"),
+            alpha=params.alpha,
+            beta=params.beta,
+            base_rate=params.base_rate,
+            p_max=p_max,
+        ),
+    )
+
+
+def retrieve_threshold(
+    postings: DataFrame,
+    queries: DataFrame,
+    term_stats: DataFrame,
+    params: TransformParams,
+    avgdl: float,
+    threshold: float,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Threshold query with safe WAND-style pruning.
+
+    A doc's probability is bounded by posterior(L(Σ matched-term
+    max_impact)): per query we drop whole queries whose total-impact
+    bound cannot reach ``threshold`` (no postings read at all), score the
+    rest, and filter on the exact probability.  This is data-level
+    pruning — precomputed bound tables + filters — the idiomatic Spark
+    translation of index skipping (no custom Catalyst rule needed).
+    """
+    qt = query_terms(queries)
+    qb = (
+        qt.join(term_stats.select("term", "max_impact"), "term", "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.col("qtf") * F.coalesce("max_impact", F.lit(0.0))).alias("score_ub"))
+    )
+    qb = qb.withColumn(
+        "prob_ub",
+        C.wand_upper_bound(
+            F.col("score_ub"), alpha=params.alpha, beta=params.beta,
+            base_rate=params.base_rate,
+        ),
+    )
+    live = queries.join(
+        qb.where(F.col("prob_ub") >= threshold).select("query_id"), "query_id"
+    )
+    scored = with_probability(
+        score_queries(postings, live, n_buckets=n_buckets), params, avgdl
+    )
+    return scored.where(F.col("probability") >= threshold).select(
+        "query_id", "doc_id", "score", "probability"
+    )

@@ -1,0 +1,289 @@
+"""End-to-end: Spark index build + query path vs the numpy oracle.
+
+Rank-identity contract (north rule): top-k doc_ids identical, BM25
+scores within rtol 1e-9, calibrated probabilities within rtol 1e-9.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bayesian_bm25_spark.kernel.bm25 import (
+    BM25Oracle,
+    estimate_alpha_beta,
+    estimate_base_rate,
+    sample_pseudo_query_scores,
+    tokenize,
+)
+from bayesian_bm25_spark.kernel.transform import TransformParams
+from bayesian_bm25_spark.operators import query as Q
+from bayesian_bm25_spark.operators.index_build import IndexConfig, build_index, load_index
+from bayesian_bm25_spark.sources.webcorpus import (
+    generate_pages,
+    generate_queries,
+    generate_rows_local,
+    queries_to_df,
+)
+from tests.conftest import SIX_DOC_QUERIES, SIX_DOCS
+
+
+def pages_df_from_texts(spark, texts):
+    rows = [
+        (i, f"https://example.org/doc/{i}", t, "en")
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def six_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx_six"))
+    pages = pages_df_from_texts(spark, SIX_DOCS)
+    return build_index(spark, pages, path, IndexConfig(base_rate="auto"))
+
+
+@pytest.fixture(scope="module")
+def six_oracle():
+    o = BM25Oracle()
+    corpus = [tokenize(d) for d in SIX_DOCS]
+    o.index(corpus)
+    pq = sample_pseudo_query_scores(o, corpus)
+    a, b = estimate_alpha_beta(pq)
+    br = estimate_base_rate(pq, o.n_docs, "percentile")
+    return o, TransformParams(alpha=a, beta=b, base_rate=br)
+
+
+class TestBuild:
+    def test_corpus_stats(self, six_index):
+        corpus = [tokenize(d) for d in SIX_DOCS]
+        assert six_index.n_docs == 6
+        assert six_index.avgdl == pytest.approx(np.mean([len(c) for c in corpus]))
+
+    def test_postings_match_oracle_impacts(self, six_index, six_oracle):
+        oracle, _ = six_oracle
+        rows = six_index.postings.collect()
+        assert len(rows) == sum(len(m) for m in oracle._impacts.values())
+        for r in rows:
+            assert r["impact"] == pytest.approx(
+                oracle._impacts[r["term"]][r["doc_id"]], rel=1e-12
+            ), (r["term"], r["doc_id"])
+            assert r["df"] == oracle.df[r["term"]]
+
+    def test_term_stats(self, six_index, six_oracle):
+        oracle, _ = six_oracle
+        ubs = oracle.term_upper_bounds()
+        for r in six_index.term_stats.collect():
+            assert r["max_impact"] == pytest.approx(ubs[r["term"]], rel=1e-12)
+
+    def test_params_match_oracle_estimation(self, six_index, six_oracle):
+        _, params = six_oracle
+        assert six_index.params.alpha == pytest.approx(params.alpha, rel=1e-9)
+        assert six_index.params.beta == pytest.approx(params.beta, rel=1e-9)
+        assert six_index.params.base_rate == pytest.approx(params.base_rate, rel=1e-9)
+
+    def test_compressed_lists_roundtrip(self, six_index, six_oracle):
+        from bayesian_bm25_spark.kernel.postings_codec import decode_posting_list
+
+        oracle, _ = six_oracle
+        for r in six_index.posting_lists.collect():
+            d, t, i = decode_posting_list(bytes(r["payload"]))
+            expect = oracle._impacts[r["term"]]
+            assert r["df"] == len(expect) == len(d)
+            assert list(d) == sorted(expect.keys())
+            np.testing.assert_allclose(i, [expect[x] for x in d], rtol=1e-12)
+
+    def test_block_max_dominates(self, six_index):
+        joined = (
+            six_index.postings.alias("p")
+            .join(six_index.block_max.alias("b"), "term")
+            .where(F.col("p.impact") > F.col("b.block_max_impact") + 1e-12)
+        )
+        # every posting's impact ≤ its term's max block impact for some block;
+        # stronger per-block check runs in the zipf test below
+        maxes = six_index.block_max.groupBy("term").agg(F.max("block_max_impact").alias("m"))
+        viol = (
+            six_index.postings.join(maxes, "term")
+            .where(F.col("impact") > F.col("m") + 1e-12)
+            .count()
+        )
+        assert viol == 0
+
+    def test_resume_from_checkpoint(self, spark, six_index):
+        # a fresh build over the same path must reuse checkpoints (no pages needed)
+        idx2 = load_index(spark, six_index.path)
+        assert idx2.n_docs == 6
+        assert idx2.params.alpha == six_index.params.alpha
+        assert idx2.postings.count() == six_index.postings.count()
+
+
+class TestQuerySixDocs:
+    def test_rank_identical_topk(self, six_index, six_oracle):
+        oracle, params = six_oracle
+        queries = [q for q in SIX_DOC_QUERIES if q]
+        qdf = queries_to_df(six_index.spark, queries)
+        got = Q.retrieve(
+            six_index.postings, qdf, six_index.params, six_index.avgdl, k=6
+        ).collect()
+        ids, scores = oracle.retrieve(queries, k=6)
+        by_query: dict[int, list] = {}
+        for r in got:
+            by_query.setdefault(int(r["query_id"]), []).append(r)
+        for qi, q in enumerate(queries):
+            rows = sorted(by_query.get(qi, []), key=lambda r: r["rank"])
+            expect = [(int(d), float(s)) for d, s in zip(ids[qi], scores[qi]) if s > 0]
+            assert [int(r["doc_id"]) for r in rows] == [d for d, _ in expect], q
+            for r, (_, s) in zip(rows, expect):
+                assert r["score"] == pytest.approx(s, rel=1e-9)
+
+    def test_probabilities_match_oracle(self, six_index, six_oracle):
+        oracle, params = six_oracle
+        queries = [["cat"], ["dog"], ["machine", "learning"]]
+        qdf = queries_to_df(six_index.spark, queries)
+        got = Q.get_probabilities(
+            six_index.postings, qdf, six_index.params, six_index.avgdl
+        ).collect()
+        for r in got:
+            qi, did = int(r["query_id"]), int(r["doc_id"])
+            s = oracle.get_scores(queries[qi])
+            tf = len(set(queries[qi]) & set(tokenize(SIX_DOCS[did])))
+            expect = six_index.params.score_to_probability(
+                s[did], tf, oracle.doc_lengths[did] / oracle.avgdl
+            )
+            assert r["probability"] == pytest.approx(expect, rel=1e-9), (qi, did)
+
+    def test_empty_and_oov_queries_return_nothing(self, six_index):
+        qdf = queries_to_df(six_index.spark, [[], ["xyznonexistent"]])
+        got = Q.retrieve(six_index.postings, qdf, six_index.params, six_index.avgdl)
+        assert got.count() == 0
+
+    def test_dense_probabilities_zero_fill(self, six_index):
+        qdf = queries_to_df(six_index.spark, [["cat"]])
+        dense = Q.get_probabilities(
+            six_index.postings,
+            qdf,
+            six_index.params,
+            six_index.avgdl,
+            all_docs=six_index.doc_stats,
+        ).collect()
+        assert len(dense) == 6
+        probs = {int(r["doc_id"]): float(r["probability"]) for r in dense}
+        assert probs[3] == 0.0  # "hello world" has no "cat"
+        assert probs[0] > 0.0
+
+    def test_duplicate_query_terms_double_score(self, six_index, six_oracle):
+        oracle, _ = six_oracle
+        qdf = queries_to_df(six_index.spark, [["cat", "cat"]])
+        got = Q.score_queries(six_index.postings, qdf).collect()
+        for r in got:
+            assert r["score"] == pytest.approx(
+                2 * oracle._impacts["cat"][int(r["doc_id"])], rel=1e-12
+            )
+
+    def test_threshold_retrieve_safe(self, six_index, six_oracle):
+        oracle, _ = six_oracle
+        qdf = queries_to_df(six_index.spark, [["cat"], ["xyznonexistent"]])
+        thr = 0.2
+        got = Q.retrieve_threshold(
+            six_index.postings,
+            qdf,
+            six_index.term_stats,
+            six_index.params,
+            six_index.avgdl,
+            threshold=thr,
+        ).collect()
+        # exhaustive answer for comparison
+        full = Q.with_probability(
+            Q.score_queries(six_index.postings, qdf), six_index.params, six_index.avgdl
+        ).collect()
+        expect = {(r["query_id"], r["doc_id"]) for r in full if r["probability"] >= thr}
+        assert {(r["query_id"], r["doc_id"]) for r in got} == expect
+
+
+class TestZipfCorpus:
+    """Seeded Zipf corpus at 1k docs: distributed build vs local oracle."""
+
+    N_DOCS = 1000
+
+    @pytest.fixture(scope="class")
+    def zipf(self, spark, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("idx_zipf"))
+        pages = generate_pages(spark, self.N_DOCS, seed=42, num_partitions=8)
+        idx = build_index(
+            spark, pages, path, IndexConfig(base_rate="auto", base_rate_method="mixture")
+        )
+        rows = generate_rows_local(self.N_DOCS, seed=42)
+        oracle = BM25Oracle()
+        oracle.index([tokenize(r["text"]) for r in rows])
+        return idx, oracle, rows
+
+    def test_generator_deterministic_vs_local(self, zipf):
+        idx, oracle, rows = zipf
+        # byte-identical text per url between distributed and local generation
+        got = {r["url"]: r["text"] for r in idx.spark.read.parquet(
+            f"{idx.path}/docs"
+        ).select("url", F.concat_ws(" ", "tokens").alias("text")).collect()}
+        for r in rows[:50]:
+            assert got[r["url"]] == r["text"]
+
+    def test_corpus_stats(self, zipf):
+        idx, oracle, _ = zipf
+        assert idx.n_docs == oracle.n_docs
+        assert idx.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+
+    def test_rank_identical_retrieval(self, zipf):
+        idx, oracle, _ = zipf
+        queries = generate_queries(self.N_DOCS, seed=42, n_queries=25)
+        qdf = queries_to_df(idx.spark, queries)
+        got = Q.retrieve(idx.postings, qdf, idx.params, idx.avgdl, k=10)
+        by_query: dict[int, list] = {}
+        for r in got.collect():
+            by_query.setdefault(int(r["query_id"]), []).append(r)
+        ids, scores = oracle.retrieve(queries, k=10)
+        for qi in range(len(queries)):
+            rows = sorted(by_query.get(qi, []), key=lambda r: r["rank"])
+            expect = [(int(d), float(s)) for d, s in zip(ids[qi], scores[qi]) if s > 0]
+            assert [int(r["doc_id"]) for r in rows] == [d for d, _ in expect], queries[qi]
+            for r, (_, s) in zip(rows, expect):
+                assert r["score"] == pytest.approx(s, rel=1e-9)
+
+    def test_params_match_oracle(self, zipf):
+        idx, oracle, rows = zipf
+        corpus = [tokenize(r["text"]) for r in rows]
+        pq = sample_pseudo_query_scores(oracle, corpus)
+        a, b = estimate_alpha_beta(pq)
+        br = estimate_base_rate(pq, oracle.n_docs, "mixture")
+        assert idx.params.alpha == pytest.approx(a, rel=1e-9)
+        assert idx.params.beta == pytest.approx(b, rel=1e-9)
+        assert idx.params.base_rate == pytest.approx(br, rel=1e-6)
+
+    def test_block_max_per_block_dominance(self, zipf):
+        idx, _, _ = zipf
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("term").orderBy("doc_id")
+        with_block = (
+            idx.postings.withColumn("local_rank", F.row_number().over(w) - 1)
+            .withColumn("block_id", (F.col("local_rank") / idx.config.block_size).cast("long"))
+        )
+        viol = (
+            with_block.join(idx.block_max, ["term", "block_id"])
+            .where(F.col("impact") > F.col("block_max_impact") + 1e-12)
+            .count()
+        )
+        assert viol == 0
+
+    def test_wand_bound_safety(self, zipf):
+        idx, oracle, _ = zipf
+        bounds = Q.term_wand_bounds(idx.term_stats, idx.params)
+        queries = generate_queries(self.N_DOCS, seed=7, n_queries=5)
+        single = [[q[0]] for q in queries]
+        qdf = queries_to_df(idx.spark, single)
+        probs = Q.with_probability(
+            Q.score_queries(idx.postings, qdf), idx.params, idx.avgdl
+        ).collect()
+        ub = {r["term"]: r["wand_ub"] for r in bounds.collect()}
+        for r in probs:
+            term = single[int(r["query_id"])][0]
+            assert r["probability"] <= ub[term] + 1e-12
