@@ -227,15 +227,9 @@ def build_index(
         force=force,
     )
 
-    doc_stats_dir = os.path.join(path, "doc_stats")
-    doc_stats = ckpt.run_stage(
-        spark,
-        doc_stats_dir,
-        lambda: docs.select("doc_id", "url", "doc_len"),
-        stage="doc_stats",
-        inputs=[docs_dir],
-        force=force,
-    )
+    # doc_stats is a pure projection of the docs checkpoint — derived
+    # lazily, no extra stage write
+    doc_stats = docs.select("doc_id", "url", "doc_len")
 
     posting_lists = None
     if cfg.build_compressed:
@@ -279,40 +273,86 @@ _LIST_SCHEMA = StructType(
 )
 
 
+def _run_grouped(batches, key_cols: list[str], flush):
+    """Iterate Arrow batches of partition-sorted rows, yielding one output
+    row per contiguous key-group via ``flush(group_slice_dict)``.
+
+    The partition is sorted by ``key_cols``, so groups are contiguous; a
+    pending tail (group possibly split across batch boundaries) is
+    carried over and prepended to the next batch.  Group boundaries are
+    found with numpy on the key columns and each group is handed to
+    ``flush`` as a dict of numpy array slices — no per-group pandas
+    machinery (a per-group applyInPandas pays ~1 ms interpreter overhead
+    per term; this pays ~µs).
+    """
+    import numpy as np
+
+    pending: pd.DataFrame | None = None
+    for pdf in batches:
+        if pending is not None:
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+        n = len(pdf)
+        if n == 0:
+            pending = None
+            continue
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in key_cols:
+            kv = cols[k]
+            change[1:] |= kv[1:] != kv[:-1]
+        starts = np.nonzero(change)[0]
+        # hold back the last group — it may continue in the next batch
+        tail_start = starts[-1]
+        pending = pdf.iloc[tail_start:]
+        if tail_start > 0:
+            bounds = list(starts[starts < tail_start]) + [tail_start]
+            out = [
+                flush({c: v[a:b] for c, v in cols.items()})
+                for a, b in zip(bounds[:-1], bounds[1:])
+            ]
+            yield pd.DataFrame(out)
+    if pending is not None and len(pending):
+        cols = {c: pending[c].to_numpy() for c in pending.columns}
+        yield pd.DataFrame([flush(cols)])
+
+
 def _build_compressed_lists(
     spark: SparkSession, postings: DataFrame, path: str, cfg: IndexConfig, force: bool
 ) -> DataFrame:
     """Two-phase salted posting-list construction (north rule).
 
-    Phase 1 groups by (term, salt(doc_id)) so the Zipf head never lands in
-    one task; each group emits a sorted delta+varbyte segment with its
-    partial df.  Phase 2 groups by term and stitches the (disjoint)
-    segments into the global list.  Both phases are Arrow-batched
-    ``applyInPandas`` — no per-row Python.
+    Phase 1 repartitions by (term, salt(doc_id)) — the Zipf head is split
+    across ``n_salts`` tasks instead of landing whole in one — sorts
+    within partitions, and encodes each contiguous (term, salt) run into
+    a sorted delta+varbyte segment with its partial df.  Phase 2
+    repartitions by term and stitches the (doc-disjoint) segments into
+    the global list.  Both phases are Arrow-batched ``mapInPandas`` over
+    partition-sorted runs: per-batch Python, per-group numpy.
     """
     seg_dir = os.path.join(path, "segments")
     list_dir = os.path.join(path, "posting_lists")
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
 
-    def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        payload = encode_posting_list(
-            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["impact"].to_numpy()
-        )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "salt": [int(pdf["salt"].iloc[0])],
-                "df_partial": [len(pdf)],
-                "payload": [payload],
+    def encode_runs(batches):
+        def flush(g: dict) -> dict:
+            # rows arrive sorted by (term, salt, doc_id) already
+            payload = encode_posting_list(g["doc_id"], g["tf"], g["impact"])
+            return {
+                "term": g["term"][0],
+                "salt": int(g["salt"][0]),
+                "df_partial": len(g["doc_id"]),
+                "payload": payload,
             }
-        )
+
+        yield from _run_grouped(batches, ["term", "salt"], flush)
 
     def build_segments() -> DataFrame:
-        salted = postings.withColumn(
-            "salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts))
-        )
-        return salted.groupBy("term", "salt").applyInPandas(
-            encode_segment, schema=_SEGMENT_SCHEMA
+        return (
+            postings.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)))
+            .repartition(n_part, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(encode_runs, schema=_SEGMENT_SCHEMA)
         )
 
     segments = ckpt.run_stage(
@@ -324,20 +364,22 @@ def _build_compressed_lists(
         force=force,
     )
 
-    def merge_segments(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = merge_posting_lists(list(pdf["payload"]))
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "df": [int(pdf["df_partial"].sum())],
-                "payload": [merged],
+    def merge_runs(batches):
+        def flush(g: dict) -> dict:
+            return {
+                "term": g["term"][0],
+                "df": int(g["df_partial"].sum()),
+                "payload": merge_posting_lists([bytes(x) for x in g["payload"]]),
             }
-        )
+
+        yield from _run_grouped(batches, ["term"], flush)
 
     return ckpt.run_stage(
         spark,
         list_dir,
-        lambda: segments.groupBy("term").applyInPandas(merge_segments, schema=_LIST_SCHEMA),
+        lambda: segments.repartition(n_part, "term")
+        .sortWithinPartitions("term", "salt")
+        .mapInPandas(merge_runs, schema=_LIST_SCHEMA),
         stage="posting_lists",
         inputs=[seg_dir],
         force=force,
@@ -379,11 +421,13 @@ def _estimate_params(
         return TransformParams(alpha=cfg.alpha or 1.0, beta=cfg.beta or 0.0)
     qdf = spark.createDataFrame(queries, schema="query_id long, terms array<string>")
     scored = Q.score_queries(postings, qdf, prune_buckets=False)
-    rows = scored.where(F.col("score") > 0).select("query_id", "score").collect()
-    per_query: dict[int, list[float]] = {}
-    for r in rows:
-        per_query.setdefault(int(r["query_id"]), []).append(float(r["score"]))
-    per_query_scores = [np.array(v) for _, v in sorted(per_query.items())]
+    pdf = (
+        scored.where(F.col("score") > 0).select("query_id", "score").toPandas()
+    )  # Arrow transfer — the sample can be hundreds of thousands of rows
+    per_query_scores = [
+        g.to_numpy(dtype=np.float64)
+        for _, g in pdf.groupby("query_id", sort=True)["score"]
+    ]
 
     alpha, beta = estimate_alpha_beta(per_query_scores, cfg.alpha, cfg.beta)
     base_rate: float | None = None
@@ -402,6 +446,7 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
         stats = json.load(f)
     cfg = IndexConfig.from_dict(meta["config"])
     pl_dir = os.path.join(path, "posting_lists")
+    docs = spark.read.parquet(os.path.join(path, "docs"))
     return BM25Index(
         spark=spark,
         path=path,
@@ -409,7 +454,7 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
         postings=spark.read.parquet(os.path.join(path, "postings")),
         term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
         block_max=spark.read.parquet(os.path.join(path, "block_max")),
-        doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
+        doc_stats=docs.select("doc_id", "url", "doc_len"),
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
         params=TransformParams.from_dict(meta["params"]),

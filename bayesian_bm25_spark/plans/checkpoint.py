@@ -35,6 +35,17 @@ def read_manifest(stage_dir: str) -> dict:
         return json.load(f)
 
 
+def _parquet_file_rows(stage_dir: str) -> list[int]:
+    import pyarrow.parquet as pq
+
+    counts = []
+    for root, _dirs, files in os.walk(stage_dir):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                counts.append(pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows)
+    return counts
+
+
 def write_stage(
     df: DataFrame,
     stage_dir: str,
@@ -61,13 +72,10 @@ def write_stage(
     part_counts: list[int] = []
     n_rows: int | None = None
     if collect_partition_metrics:
-        pc = (
-            out.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .orderBy("pid")
-            .collect()
-        )
-        part_counts = [int(r["count"]) for r in pc]
+        # per-file row counts straight from the parquet footers — no
+        # extra Spark scan (a file is the unit of read parallelism, so
+        # these are the per-partition metrics the manifest promises)
+        part_counts = _parquet_file_rows(stage_dir)
         n_rows = int(sum(part_counts))
 
     manifest = {

@@ -55,11 +55,28 @@ def zipf_weights(vocab_size: int) -> np.ndarray:
 
 def doc_tokens(doc_id: int, seed: int, vocab_size: int, avg_len: int,
                weights: np.ndarray) -> list[str]:
-    """Tokens for one document — a pure function of (seed, doc_id)."""
+    """Tokens for one document — a pure function of (seed, doc_id).
+
+    Zipf sampling via inverse-CDF (searchsorted on the cumulative
+    weights) — O(len·log vocab) per doc instead of rng.choice's
+    O(vocab) per draw."""
     rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(doc_id))
     n = max(5, int(round(rng.normal(avg_len, 0.3 * avg_len))))
-    term_ids = rng.choice(vocab_size, size=n, p=weights)
+    cdf = _cdf_cache(vocab_size, weights)
+    term_ids = np.searchsorted(cdf, rng.random(n), side="right")
     return [f"term_{t}" for t in term_ids]
+
+
+_CDF_CACHE: dict[int, np.ndarray] = {}
+
+
+def _cdf_cache(vocab_size: int, weights: np.ndarray) -> np.ndarray:
+    cdf = _CDF_CACHE.get(vocab_size)
+    if cdf is None:
+        cdf = np.cumsum(weights)
+        cdf[-1] = 1.0
+        _CDF_CACHE[vocab_size] = cdf
+    return cdf
 
 
 def _page_row(doc_id: int, seed: int, vocab_size: int, avg_len: int, weights: np.ndarray):

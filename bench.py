@@ -1,0 +1,142 @@
+"""Benchmark harness: headline queries + index-build/query throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build_docs_per_sec": ..., "query_qps": ..., "n_cores": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_N_DOCS         synthetic corpus size for the build benchmark
+                       (default 50000)
+  BENCH_N_QUERIES      query-batch size for the QPS benchmark (default 200)
+
+Run via spark-submit --py-files (see tools/scaling_bench.py) or plain
+python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "50000"))
+N_QUERIES = int(os.environ.get("BENCH_N_QUERIES", "200"))
+
+HEADLINE = [
+    "bm25_topk",
+    "probability_topk",
+    "term_stats_wand",
+    "block_max",
+    "cosine_topk",
+    "minhash_lsh_pairs",
+    "dedup_exact",
+    "fusion_ops",
+    "calibration_metrics",
+    "pricing_summary",
+    "events_sessions",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from bayesian_bm25_spark.entry_queries import SPARK_QUERIES
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bb25spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    # --- index-build + query throughput on the synthetic web corpus ----
+    from bayesian_bm25_spark.operators import query as Q
+    from bayesian_bm25_spark.operators.index_build import IndexConfig, build_index
+    from bayesian_bm25_spark.sources.webcorpus import (
+        generate_pages,
+        generate_queries,
+        queries_to_df,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="bb25_bench_idx_")
+    pages_dir = tempfile.mkdtemp(prefix="bb25_bench_pages_")
+    try:
+        # materialize the synthetic web-page table first (untimed): the
+        # build benchmark measures indexing a stored table, not the
+        # corpus generator
+        generate_pages(spark, N_DOCS, seed=42, num_partitions=max(CPUS, 8)).write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
+        pages = spark.read.parquet(pages_dir)
+        t0 = time.time()
+        idx = build_index(
+            spark,
+            pages,
+            idx_dir,
+            IndexConfig(base_rate="auto", build_compressed=True),
+            force=True,
+        )
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 4)
+        total += build_sec
+
+        qdf = queries_to_df(spark, generate_queries(N_DOCS, seed=42, n_queries=N_QUERIES))
+        t0 = time.time()
+        res = Q.retrieve(
+            idx.postings, qdf, idx.params, idx.avgdl, k=10, n_buckets=idx.config.n_buckets
+        )
+        n_rows = res.count()
+        query_sec = time.time() - t0
+        timings["query_top10"] = round(query_sec, 4)
+        total += query_sec
+        print(f"# build {N_DOCS} docs in {build_sec:.2f}s; "
+              f"{N_QUERIES} queries in {query_sec:.2f}s ({n_rows} rows)", file=sys.stderr)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(pages_dir, ignore_errors=True)
+
+    out = {
+        "metric": "headline-suite+index-build+top10-query wall time",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_cores": CPUS,
+        "bench_docs": N_DOCS,
+        "bench_queries": N_QUERIES,
+        "build_docs_per_sec": round(N_DOCS / timings["index_build"], 2),
+        "query_qps": round(N_QUERIES / timings["query_top10"], 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
