@@ -1059,3 +1059,344 @@ ORACLE_SQL: dict[str, str] = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
 }
+
+
+# ---------------------------------------------------------------------
+# Group F — multi-field, hybrid fusion, IR metrics (oracle-checked)
+# ---------------------------------------------------------------------
+
+# Two synthetic fields derived deterministically from documents.text:
+# title = first 5 tokens, body = the rest.  Field weights 0.4/0.6,
+# weighted Log-OP conjunction with alpha=0 (weighted default), fixed
+# transform params (P_ALPHA, P_BETA, no base rate) so the oracle is SQL.
+
+
+def q_multifield_topk(spark, sf_dir):
+    from bayesian_bm25_spark.kernel.transform import TransformParams
+
+    docs = _docs_tokens(spark, sf_dir)
+    title = docs.select(
+        "doc_id", F.slice("tokens", 1, 5).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens").cast("long"))
+    body = docs.select(
+        "doc_id",
+        F.expr("slice(tokens, 6, greatest(size(tokens) - 5, 0))").alias("tokens"),
+    ).withColumn("doc_len", F.size("tokens").cast("long"))
+
+    params = TransformParams(alpha=P_ALPHA, beta=P_BETA)
+    queries = _doc_queries(docs)
+    parts = {}
+    for name, fdocs in (("title", title), ("body", body)):
+        row = fdocs.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+        postings = compute_postings(fdocs, int(row["n"]), float(row["a"]), IndexConfig())
+        parts[name] = Q.with_probability(
+            Q.score_queries(postings, queries, prune_buckets=False), params, float(row["a"])
+        ).select("query_id", "doc_id", F.col("probability").alias(f"p_{name}"))
+    cands = (
+        parts["title"]
+        .join(parts["body"], ["query_id", "doc_id"], "full_outer")
+        .withColumn("p_title", F.coalesce("p_title", F.lit(0.0)))
+        .withColumn("p_body", F.coalesce("p_body", F.lit(0.0)))
+    )
+    fused = cands.withColumn(
+        "fused",
+        C.log_odds_conjunction(F.array("p_title", "p_body"), weights=[0.4, 0.6]),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("fused", 6)), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", F.round("fused", 6).alias("fused_r"))
+    )
+
+
+def _sql_field_probs(slice_expr: str, alias: str) -> str:
+    """Per-field scoring CTEs over a token-slice of documents."""
+    lik = _SIG.format(x=f"{P_ALPHA} * (score - {P_BETA})")
+    prior = (
+        "least(greatest(0.7e0 * (0.2e0 + 0.7e0 * least(1.0e0, tf_match / 10.0e0))"
+        " + 0.3e0 * (0.3e0 + 0.6e0 * (1e0 - least(1.0e0, abs(dl / avgdl - 0.5e0) * 2e0))),"
+        " 0.1e0), 0.9e0)"
+    )
+    p1 = f"least(greatest((({lik})*({prior})) / (({lik})*({prior}) + (1e0-({lik}))*(1e0-({prior}))), 1e-10), 1e0 - 1e-10)"
+    return f"""
+{alias}_toks AS (
+  SELECT doc_id, {slice_expr} AS ts FROM base_toks
+),
+{alias}_stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(len(ts))::DOUBLE AS avgdl FROM {alias}_toks
+),
+{alias}_tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl)::BIGINT AS dl
+  FROM (SELECT doc_id, unnest(ts) AS term, len(ts) AS dl FROM {alias}_toks)
+  GROUP BY doc_id, term
+),
+{alias}_df AS (SELECT term, count(*)::BIGINT AS df FROM {alias}_tf GROUP BY term),
+{alias}_post AS (
+  SELECT t.term, t.doc_id,
+         ln(1e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+         * (t.tf * 2.2e0 / (t.tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * t.dl / s.avgdl)))
+           AS impact,
+         t.dl
+  FROM {alias}_tf t JOIN {alias}_df d ON t.term = d.term CROSS JOIN {alias}_stats s
+),
+{alias}_scored AS (
+  SELECT qt.query_id, p.doc_id, sum(p.impact * qt.qtf) AS score,
+         count(*)::BIGINT AS tf_match, any_value(p.dl) AS dl,
+         any_value(s.avgdl) AS avgdl
+  FROM qt JOIN {alias}_post p ON qt.term = p.term CROSS JOIN {alias}_stats s
+  GROUP BY qt.query_id, p.doc_id
+),
+{alias}_probs AS (
+  SELECT query_id, doc_id, {p1} AS p_{alias} FROM {alias}_scored
+)
+"""
+
+
+SQL_MULTIFIELD_TOPK = f"""
+WITH base_toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+qt AS (
+  SELECT query_id, term, count(*)::BIGINT AS qtf
+  FROM (SELECT doc_id AS query_id, unnest(ts[1:5]) AS term
+        FROM base_toks WHERE doc_id % 50 = 0)
+  GROUP BY query_id, term
+),
+{_sql_field_probs("ts[1:5]", "title").strip().lstrip()},
+{_sql_field_probs("ts[6:greatest(len(ts), 6)]", "body").strip().lstrip()},
+cands AS (
+  SELECT coalesce(t.query_id, b.query_id) AS query_id,
+         coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.p_title, 0e0) AS p_title,
+         coalesce(b.p_body, 0e0) AS p_body
+  FROM title_probs t FULL OUTER JOIN body_probs b
+    ON t.query_id = b.query_id AND t.doc_id = b.doc_id
+),
+fused AS (
+  SELECT query_id, doc_id,
+         {_SIG.format(x=f"0.4e0 * ({_sql_logit('p_title')}) + 0.6e0 * ({_sql_logit('p_body')})")} AS fused
+  FROM cands
+),
+ranked AS (
+  SELECT query_id, doc_id, round(fused, 6) AS fused_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(fused, 6) DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, fused_r FROM ranked WHERE rank <= 10
+"""
+
+
+def _two_signal_frames(spark, sf_dir):
+    """Sparse = BM25 scored set; dense pseudo-cosine from doc_id (both
+    engines compute identical values)."""
+    docs, postings, _, _ = _corpus_postings(spark, sf_dir)
+    sparse = Q.score_queries(postings, _doc_queries(docs), prune_buckets=False).select(
+        "query_id", "doc_id", "score"
+    )
+    dense = (
+        _doc_queries(docs)
+        .select("query_id")
+        .crossJoin(docs.select("doc_id"))
+        .where((F.col("doc_id") + F.col("query_id")) % 7 < 3)
+        .withColumn(
+            "sim",
+            ((F.col("doc_id") * 31 + F.col("query_id") * 17) % 1999 - 999.0) / 999.0,
+        )
+    )
+    return sparse, dense
+
+
+_SQL_TWO_SIGNALS = f"""
+WITH {SQL_TOKS},
+sparse AS (SELECT query_id, doc_id, score FROM scored),
+dense AS (
+  SELECT q.query_id, d.doc_id,
+         ((d.doc_id * 31 + q.query_id * 17) % 1999 - 999.0e0) / 999.0e0 AS sim
+  FROM (SELECT DISTINCT query_id FROM qt) q
+  CROSS JOIN (SELECT doc_id FROM toks) d
+  WHERE (d.doc_id + q.query_id) % 7 < 3
+)
+"""
+
+
+def q_rrf_hybrid(spark, sf_dir):
+    from bayesian_bm25_spark.operators import fusion_ops as FO
+
+    sparse, dense = _two_signal_frames(spark, sf_dir)
+    fused = FO.rrf_fusion(sparse, dense, k=60, sparse_col="score", dense_col="sim")
+    out = FO.topk_fused(fused, k=10)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("fused", 6).alias("rrf_r")
+    )
+
+
+SQL_RRF_HYBRID = (
+    _SQL_TWO_SIGNALS
+    + """,
+s_rank AS (
+  SELECT query_id, doc_id,
+         1e0 / (60 + row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC)) AS rrf_s
+  FROM sparse
+),
+d_rank AS (
+  SELECT query_id, doc_id,
+         1e0 / (60 + row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, doc_id ASC)) AS rrf_d
+  FROM dense
+),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(s.rrf_s, 0e0) + coalesce(d.rrf_d, 0e0) AS fused
+  FROM s_rank s FULL OUTER JOIN d_rank d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(fused, 6) AS rrf_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fused DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, rrf_r FROM ranked WHERE rank <= 10
+"""
+)
+
+
+def q_convex_hybrid(spark, sf_dir):
+    from bayesian_bm25_spark.operators import fusion_ops as FO
+
+    sparse, dense = _two_signal_frames(spark, sf_dir)
+    sparse_p = sparse.withColumn(
+        "probability", C.platt(F.col("score"), 1.0, -1.0)
+    )
+    cands = FO.union_candidates(sparse_p, dense)
+    fused = FO.convex_fusion(cands, weight=0.5)
+    return fused.select(
+        "query_id", "doc_id", F.round("fused", 6).alias("convex_r")
+    )
+
+
+SQL_CONVEX_HYBRID = (
+    _SQL_TWO_SIGNALS.replace(
+        "sparse AS (SELECT query_id, doc_id, score FROM scored)",
+        f"sparse AS (SELECT query_id, doc_id, "
+        f"{_SIG.format(x='1.0e0 * score + -1.0e0')} AS p_sparse FROM scored)",
+    )
+    + """,
+cands AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(s.p_sparse, 0e0) AS p_sparse,
+         coalesce(d.sim, 0e0) AS cos_dense
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+mm AS (
+  SELECT query_id, doc_id, p_sparse, cos_dense,
+         min(p_sparse) OVER (PARTITION BY query_id) AS slo,
+         max(p_sparse) OVER (PARTITION BY query_id) AS shi,
+         min(cos_dense) OVER (PARTITION BY query_id) AS dlo,
+         max(cos_dense) OVER (PARTITION BY query_id) AS dhi
+  FROM cands
+)
+SELECT query_id, doc_id,
+       round(0.5e0 * (CASE WHEN dhi - dlo < 1e-12 THEN 0e0
+                           ELSE (cos_dense - dlo) / (dhi - dlo) END)
+           + 0.5e0 * (CASE WHEN shi - slo < 1e-12 THEN 0e0
+                           ELSE (p_sparse - slo) / (shi - slo) END), 6) AS convex_r
+FROM mm
+"""
+)
+
+
+def q_ndcg_bm25(spark, sf_dir):
+    """NDCG@10 of the BM25 ranking against deterministic qrels:
+    relevance 3 for the query's source doc, 1 for doc_id % 100 ==
+    query_id % 100."""
+    from bayesian_bm25_spark.operators import ir_metrics as IR
+
+    ranking = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    docs = _docs_tokens(spark, sf_dir)
+    qrels = (
+        _doc_queries(docs)
+        .select("query_id")
+        .crossJoin(docs.select("doc_id"))
+        .withColumn(
+            "relevance",
+            F.when(F.col("doc_id") == F.col("query_id"), 3)
+            .when(F.col("doc_id") % 100 == F.col("query_id") % 100, 1)
+            .otherwise(0),
+        )
+        .where(F.col("relevance") > 0)
+    )
+    out = IR.ndcg_at_k(ranking, qrels, k=10)
+    return out.select("query_id", F.round("ndcg", 6).alias("ndcg_r"))
+
+
+SQL_NDCG_BM25 = f"""
+WITH {SQL_TOKS},
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= 10),
+qrels AS (
+  SELECT q.query_id, d.doc_id,
+         CASE WHEN d.doc_id = q.query_id THEN 3
+              WHEN d.doc_id % 100 = q.query_id % 100 THEN 1
+              ELSE 0 END AS relevance
+  FROM (SELECT DISTINCT query_id FROM qt) q
+  CROSS JOIN (SELECT doc_id FROM toks) d
+  WHERE (CASE WHEN d.doc_id = q.query_id THEN 3
+              WHEN d.doc_id % 100 = q.query_id % 100 THEN 1
+              ELSE 0 END) > 0
+),
+dcg AS (
+  SELECT t.query_id,
+         sum(coalesce(r.relevance, 0)::DOUBLE / log2(t.rank + 1)) AS dcg
+  FROM topk t LEFT JOIN qrels r
+    ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  GROUP BY t.query_id
+),
+ideal AS (
+  SELECT query_id,
+         sum(relevance::DOUBLE / log2(irank + 1)) AS idcg
+  FROM (SELECT query_id, relevance,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY relevance DESC, doc_id ASC) AS irank
+        FROM qrels)
+  WHERE irank <= 10
+  GROUP BY query_id
+)
+SELECT d.query_id,
+       round(CASE WHEN coalesce(i.idcg, 0e0) > 0e0 THEN d.dcg / i.idcg ELSE 0e0 END, 6)
+         AS ndcg_r
+FROM dcg d LEFT JOIN ideal i ON d.query_id = i.query_id
+"""
+
+SPARK_QUERIES.update(
+    {
+        "multifield_topk": q_multifield_topk,
+        "rrf_hybrid": q_rrf_hybrid,
+        "convex_hybrid": q_convex_hybrid,
+        "ndcg_bm25": q_ndcg_bm25,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "multifield_topk": SQL_MULTIFIELD_TOPK,
+        "rrf_hybrid": SQL_RRF_HYBRID,
+        "convex_hybrid": SQL_CONVEX_HYBRID,
+        "ndcg_bm25": SQL_NDCG_BM25,
+    }
+)
