@@ -1400,3 +1400,210 @@ ORACLE_SQL.update(
         "ndcg_bm25": SQL_NDCG_BM25,
     }
 )
+
+
+# ---------------------------------------------------------------------
+# Group G — similarity/vector-calibration/dedup/text-analysis operators
+# ---------------------------------------------------------------------
+
+
+def q_quality_scores(spark, sf_dir):
+    from bayesian_bm25_spark.operators.text_analysis import quality_features
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ttr", 6).alias("ttr_r"),
+        F.round("punct_ratio", 6).alias("punct_ratio_r"),
+        F.round("digit_ratio", 6).alias("digit_ratio_r"),
+        F.round("quality_score", 6).alias("quality_r"),
+    )
+
+
+SQL_QUALITY_SCORES = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n_tokens,
+         len(ts)::DOUBLE AS n_tok,
+         len(list_distinct(ts))::DOUBLE AS n_dist,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^\\.,;:!\\?"''()\\[\\]{}]', '', 'g'))::DOUBLE AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits
+  FROM toks
+),
+ratios AS (
+  SELECT doc_id, n_tokens,
+         n_dist / greatest(n_tok, 1e0) AS ttr,
+         punct / greatest(n_chars, 1e0) AS punct_ratio,
+         digits / greatest(n_chars, 1e0) AS digit_ratio,
+         least(n_tok / 20.0e0, 1e0) * least(2000.0e0 / greatest(n_tok, 1e0), 1e0) AS length_band
+  FROM feat
+)
+SELECT doc_id, n_tokens,
+       round(ttr, 6) AS ttr_r,
+       round(punct_ratio, 6) AS punct_ratio_r,
+       round(digit_ratio, 6) AS digit_ratio_r,
+       round(0.4e0 * length_band
+           + 0.3e0 * least(ttr * 2e0, 1e0)
+           + 0.2e0 * (1e0 - least(punct_ratio * 5e0, 1e0))
+           + 0.1e0 * (1e0 - least(digit_ratio * 5e0, 1e0)), 6) AS quality_r
+FROM ratios
+"""
+
+
+def q_token_counts_bpe(spark, sf_dir):
+    from bayesian_bm25_spark.operators.text_analysis import token_counts
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_counts(docs).select("doc_id", "ws_tokens", "bpe_est")
+
+
+SQL_TOKEN_COUNTS_BPE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws,
+         list_filter(regexp_split_to_array(lower(text), '([^\\w]|_)+'), x -> x <> '') AS pieces
+  FROM documents
+)
+SELECT doc_id, len(ws)::BIGINT AS ws_tokens,
+       coalesce(list_sum(list_transform(pieces, x -> ceil(length(x) / 4.0e0)::INT)), 0)::BIGINT
+         AS bpe_est
+FROM toks
+"""
+
+
+def q_language_id(spark, sf_dir):
+    from bayesian_bm25_spark.operators.text_analysis import language_id
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return language_id(docs).select(
+        "doc_id", "lang", "lang_pred", F.round("lang_score", 6).alias("lang_score_r")
+    )
+
+
+def _sql_lang_ratio(words: list[str]) -> str:
+    return (
+        f"len(list_filter(ts, x -> list_contains({words!r}, x)))"
+        " / greatest(len(ts), 1)::DOUBLE"
+    )
+
+
+SQL_LANGUAGE_ID = None  # assembled below
+
+
+def _build_sql_language_id() -> str:
+    from bayesian_bm25_spark.operators.text_analysis import STOPWORDS
+
+    ratio_cols = ",\n         ".join(
+        f"({_sql_lang_ratio(words)}) AS r_{lg}" for lg, words in STOPWORDS.items()
+    )
+    structs = ", ".join(f"{{'score': r_{lg}, 'lang': '{lg}'}}" for lg in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, lang,
+         {ratio_cols}
+  FROM toks
+),
+best AS (
+  SELECT doc_id, lang,
+         list_max([{structs}]) AS b
+  FROM ratios
+)
+SELECT doc_id, lang,
+       CASE WHEN b.score > 0e0 THEN b.lang ELSE 'und' END AS lang_pred,
+       round(b.score, 6) AS lang_score_r
+FROM best
+"""
+
+
+SQL_LANGUAGE_ID = _build_sql_language_id()
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means cells, nprobe probing) — rows-only: the
+    centroid training is iterative seeded driver state."""
+    import numpy as np
+
+    from bayesian_bm25_spark.operators import similarity as SIM
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas()
+    centroids = SIM.train_centroids(np.stack(pdf["embedding"].to_numpy()), n_cells=16, seed=42)
+    assigned = SIM.assign_cells(emb, centroids)
+    queries = [
+        (int(r.vec_id), np.array(r.embedding))
+        for r in pdf[pdf.vec_id % 100 == 0].itertuples()
+    ]
+    out = SIM.ivf_search(assigned, centroids, queries, k=10, nprobe=4)
+    return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
+
+
+def q_vector_calibrated_topk(spark, sf_dir):
+    """Density-ratio vector calibration (KDE/GMM auto-routing) —
+    rows-only: iterative EM per candidate set."""
+    from bayesian_bm25_spark.operators import vector_ops as VO
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dists = VO.distances_from_embeddings(emb, queries)
+    vpt = VO.fit_background(dists, base_rate=0.05)
+    cal = VO.calibrate_per_query(dists, vpt)
+    w = Window.partitionBy("query_id").orderBy(F.desc("vector_prob"), F.asc("vec_id"))
+    return (
+        cal.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", F.round("vector_prob", 6).alias("vprob_r"))
+    )
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """64-bit SimHash near-dup fingerprints — rows-only (bit folding)."""
+    from bayesian_bm25_spark.operators.dedup import simhash64
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(docs)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs — rows-only (seeded
+    hyperplanes)."""
+    from bayesian_bm25_spark.operators.dedup import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, threshold=0.35, n_bits=4)
+    return out.select("a", "b", F.round("cos", 6).alias("cos_r"))
+
+
+SPARK_QUERIES.update(
+    {
+        "quality_scores": q_quality_scores,
+        "token_counts_bpe": q_token_counts_bpe,
+        "language_id": q_language_id,
+        "ivf_topk": q_ivf_topk,
+        "vector_calibrated_topk": q_vector_calibrated_topk,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "quality_scores": SQL_QUALITY_SCORES,
+        "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
+        "language_id": SQL_LANGUAGE_ID,
+    }
+)

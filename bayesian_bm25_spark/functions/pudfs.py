@@ -71,3 +71,32 @@ def score_to_probability_udf(alpha: float, beta: float, base_rate, mode: str = "
         return pd.Series(np.atleast_1d(out))
 
     return transform
+
+
+def cell_assign_udf(centroids: np.ndarray):
+    """argmax-cosine cell assignment against broadcast centroids."""
+    from bayesian_bm25_spark.operators.similarity import l2_normalize_rows
+
+    cent = np.asarray(centroids, dtype=np.float32)
+
+    @pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        m = l2_normalize_rows(np.stack(emb.to_numpy()).astype(np.float32))
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    return cell_of
+
+
+def lsh_bucket_udf(planes: np.ndarray):
+    """Sign-pattern bucket id against broadcast random hyperplanes."""
+
+    @pandas_udf("long")
+    def bucket_of(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float32)
+        bits = (m @ planes.T) > 0
+        vals = np.zeros(len(m), dtype=np.int64)
+        for i in range(planes.shape[0]):
+            vals = (vals << 1) | bits[:, i].astype(np.int64)
+        return pd.Series(vals)
+
+    return bucket_of

@@ -1,0 +1,277 @@
+"""Vector calibration (vs reference numpy), similarity search, dedup,
+text analysis."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bayesian_bm25_spark.kernel.vector_calibrate import (
+    VectorProbabilityTransform,
+    detect_gap,
+    distance_density_weights,
+    gap_weights,
+    gaussian_pdf,
+    ivf_density_prior,
+    kernel_density,
+    knn_density_prior,
+    sharpen_weights,
+    silverman_bandwidth,
+)
+from bayesian_bm25_spark.operators import dedup as DD
+from bayesian_bm25_spark.operators import similarity as SIM
+from bayesian_bm25_spark.operators import text_analysis as TA
+from bayesian_bm25_spark.operators import vector_ops as VO
+
+
+class TestVectorKernelReferenceParity:
+    def ref_vpt(self, ref):
+        import bayesian_bm25.vector_probability as rvp
+
+        return rvp
+
+    def test_pdf_bandwidth_kde_bitwise(self, ref):
+        rvp = self.ref_vpt(ref)
+        rng = np.random.default_rng(42)
+        x = rng.normal(0.8, 0.15, 500)
+        w = rng.uniform(0, 1, 500)
+        np.testing.assert_array_equal(gaussian_pdf(x, 0.8, 0.15), rvp._gaussian_pdf(x, 0.8, 0.15))
+        assert silverman_bandwidth(x, w) == rvp._silverman_bandwidth(x, w)
+        e = np.linspace(0.2, 1.4, 50)
+        np.testing.assert_array_equal(
+            kernel_density(e, x, w, 0.1), rvp._kernel_density(e, x, w, 0.1)
+        )
+
+    def test_gap_and_weights_bitwise(self, ref):
+        rvp = self.ref_vpt(ref)
+        t_ref = rvp.VectorProbabilityTransform(0.8, 0.15)
+        # FIXTURES.md F7 gap sample (README.md:190)
+        gap_sample = np.array([0.10, 0.15, 0.20, 0.50, 0.75, 0.80, 0.85])
+        assert detect_gap(gap_sample) == t_ref._detect_gap(gap_sample)
+        np.testing.assert_array_equal(gap_weights(gap_sample), t_ref._gap_weights(gap_sample))
+        rng = np.random.default_rng(1)
+        smooth = rng.normal(0.8, 0.05, 100)
+        assert detect_gap(smooth) == t_ref._detect_gap(smooth)
+        w = rng.uniform(0.4, 0.6, 50)
+        np.testing.assert_array_equal(sharpen_weights(w), t_ref._sharpen_weights(w))
+        d = rng.uniform(0.1, 1.5, 50)
+        np.testing.assert_array_equal(
+            distance_density_weights(d), t_ref._distance_density_weights(d)
+        )
+
+    def test_calibrate_all_methods_bitwise(self, ref):
+        rvp = self.ref_vpt(ref)
+        rng = np.random.default_rng(42)
+        bg = rng.normal(0.8, 0.15, 10000)
+        theirs = rvp.VectorProbabilityTransform.fit_background(bg, base_rate=0.05)
+        ours = VectorProbabilityTransform.fit_background(bg, base_rate=0.05)
+        assert ours.mu_G == theirs.mu_G and ours.sigma_G == theirs.sigma_G
+        for dists in (
+            rng.uniform(0.1, 1.2, 200),  # smooth, large
+            np.array([0.10, 0.15, 0.20, 0.50, 0.75, 0.80, 0.85]),  # gap, small
+            np.concatenate([rng.uniform(0.1, 0.3, 60), rng.uniform(0.7, 1.2, 60)]),  # gap, large
+        ):
+            w = rng.uniform(0, 1, len(dists))
+            for method in ("auto", "kde", "gmm"):
+                np.testing.assert_allclose(
+                    ours.calibrate(dists, method=method),
+                    theirs.calibrate(dists, method=method),
+                    rtol=1e-12,
+                    err_msg=f"{method} len={len(dists)}",
+                )
+                np.testing.assert_allclose(
+                    ours.calibrate(dists, weights=w, method=method),
+                    theirs.calibrate(dists, weights=w, method=method),
+                    rtol=1e-12,
+                )
+        # eval/sample decoupling
+        ev = rng.uniform(0.2, 1.0, 30)
+        smp = rng.uniform(0.1, 1.2, 150)
+        np.testing.assert_allclose(
+            ours.calibrate_with_sample(ev, smp),
+            theirs.calibrate_with_sample(ev, smp),
+            rtol=1e-12,
+        )
+
+    def test_density_priors_bitwise(self, ref):
+        rvp = self.ref_vpt(ref)
+        # FIXTURES.md F7: (pop=150, avg=100), (kth=0.5, median=0.8)
+        assert ivf_density_prior(150, 100.0) == rvp.ivf_density_prior(150, 100.0)
+        assert knn_density_prior(0.5, 0.8) == rvp.knn_density_prior(0.5, 0.8)
+        pops = np.array([10, 100, 1000])
+        np.testing.assert_array_equal(
+            ivf_density_prior(pops, 100.0), rvp.ivf_density_prior(pops, 100.0)
+        )
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+class TestSimilaritySearch:
+    def test_ivf_recall_vs_brute_force(self, spark, emb_df):
+        import pandas as pd
+
+        pdf = emb_df.toPandas()
+        mat = np.stack(pdf["embedding"].to_numpy())
+        centroids = SIM.train_centroids(mat, n_cells=8, seed=42)
+        assigned = SIM.assign_cells(emb_df, centroids)
+        queries = [(int(r.vec_id), np.array(r.embedding)) for r in
+                   pdf.head(3).itertuples()]
+        got = SIM.ivf_search(assigned, centroids, queries, k=5, nprobe=8)
+        qdf = spark.createDataFrame(
+            [(q, [float(x) for x in v]) for q, v in queries],
+            "query_id long, q_emb array<float>",
+        )
+        exact = SIM.brute_force_topk(emb_df, qdf, k=5)
+        # probing ALL cells == exact search
+        g = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+        e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+        assert g == e
+
+    def test_ivf_partial_probe_recall(self, spark, emb_df):
+        pdf = emb_df.toPandas()
+        mat = np.stack(pdf["embedding"].to_numpy())
+        centroids = SIM.train_centroids(mat, n_cells=16, seed=42)
+        assigned = SIM.assign_cells(emb_df, centroids).cache()
+        queries = [(int(r.vec_id), np.array(r.embedding)) for r in pdf.head(5).itertuples()]
+        got = SIM.ivf_search(assigned, centroids, queries, k=5, nprobe=4)
+        qdf = spark.createDataFrame(
+            [(q, [float(x) for x in v]) for q, v in queries],
+            "query_id long, q_emb array<float>",
+        )
+        exact = SIM.brute_force_topk(emb_df, qdf, k=5)
+        inter = got.select("query_id", "vec_id").intersect(
+            exact.select("query_id", "vec_id")
+        )
+        recall = inter.count() / exact.count()
+        assert recall >= 0.5  # nprobe=4/16 cells; self-vector always found
+
+    def test_cell_stats_and_prior(self, spark, emb_df):
+        pdf = emb_df.toPandas()
+        centroids = SIM.train_centroids(np.stack(pdf["embedding"].to_numpy()), n_cells=8)
+        assigned = SIM.assign_cells(emb_df, centroids)
+        stats = SIM.cell_stats(assigned)
+        total = stats.agg(F.sum("population")).collect()[0][0]
+        assert total == emb_df.count()
+        avg_pop = total / stats.count()
+        with_prior = VO.with_ivf_density_prior(stats, avg_pop)
+        rows = with_prior.collect()
+        for r in rows:
+            expect = ivf_density_prior(r["population"], avg_pop)
+            assert r["density_prior"] == pytest.approx(expect, rel=1e-9)
+
+    def test_lsh_buckets_deterministic(self, spark, emb_df):
+        b1 = SIM.hyperplane_lsh_buckets(emb_df, 64, n_bits=8, seed=42)
+        b2 = SIM.hyperplane_lsh_buckets(emb_df, 64, n_bits=8, seed=42)
+        assert b1.select("vec_id", "lsh_bucket").collect() == b2.select("vec_id", "lsh_bucket").collect()
+
+
+class TestVectorOpsSpark:
+    def test_calibrate_per_query_matches_kernel(self, spark, emb_df):
+        import pandas as pd
+
+        pdf = emb_df.limit(3).toPandas()
+        queries = spark.createDataFrame(
+            [(int(r.vec_id), [float(x) for x in r.embedding]) for r in pdf.itertuples()],
+            "query_id long, q_emb array<float>",
+        )
+        dists = VO.distances_from_embeddings(emb_df, queries)
+        vpt = VO.fit_background(dists)
+        got = VO.calibrate_per_query(dists, vpt).toPandas()
+        for qid, g in got.groupby("query_id"):
+            g = g.sort_values("vec_id")
+            expect = vpt.calibrate(g["distance"].to_numpy())
+            np.testing.assert_allclose(g["vector_prob"].to_numpy(), expect, rtol=1e-9)
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "The quick  brown fox jumps over the lazy dog"),  # case/ws dup of 0
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+            (3, "completely different text about spark engines"),
+            (4, "completely different text about spark engines"),  # exact dup of 3
+            (5, "unrelated short doc"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_duplicates(self, docs):
+        groups = {tuple(r["doc_ids"]): r["n_docs"] for r in DD.exact_duplicates(docs).collect()}
+        assert ((0, 1) in groups) and ((3, 4) in groups)
+        assert len(groups) == 2
+
+    def test_minhash_lsh_finds_near_dups(self, docs):
+        pairs = {(r["a"], r["b"]) for r in DD.minhash_lsh_pairs(docs).collect()}
+        assert (0, 1) in pairs
+        assert (3, 4) in pairs
+        assert (0, 2) in pairs  # 8/10 shared shingles → some band collides
+
+    def test_jaccard_verify(self, docs):
+        sh = DD.shingles(docs)
+        pairs = DD.minhash_lsh_pairs(docs)
+        verified = {(r["a"], r["b"]): r["jaccard"] for r in
+                    DD.jaccard_verify(sh, pairs, threshold=0.5).collect()}
+        assert verified[(0, 1)] == pytest.approx(1.0)
+        assert verified[(3, 4)] == pytest.approx(1.0)
+        assert 0.5 <= verified[(0, 2)] < 1.0
+
+    def test_simhash_near_dups_close(self, docs):
+        fps = {r["doc_id"]: r["simhash"] for r in DD.simhash64(docs).collect()}
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+        assert hamming(fps[0], fps[1]) == 0  # identical after normalization
+        assert hamming(fps[0], fps[2]) < hamming(fps[0], fps[3])
+
+    def test_embedding_near_dups(self, spark):
+        rng = np.random.default_rng(42)
+        base = rng.normal(0, 1, 16)
+        rows = [
+            (0, [float(x) for x in base]),
+            (1, [float(x) for x in base + rng.normal(0, 0.01, 16)]),  # near-dup
+            (2, [float(x) for x in rng.normal(0, 1, 16)]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        dups = {(r["a"], r["b"]) for r in DD.embedding_near_dups(emb, threshold=0.95).collect()}
+        assert (0, 1) in dups
+        assert (0, 2) not in dups
+
+
+class TestTextAnalysis:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "the cat sat on the mat with a hat for the dog"),
+            (1, "el perro y el gato en la casa de los vecinos se fue por la paz"),
+            (2, "zzz qqq www eee rrr"),
+            (3, "1234 5678 !!! ???"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_language_id(self, docs):
+        got = {r["doc_id"]: r["lang_pred"] for r in TA.language_id(docs).collect()}
+        assert got[0] == "en"
+        assert got[1] == "es"
+        assert got[2] == "und"
+
+    def test_quality_features(self, docs):
+        rows = {r["doc_id"]: r for r in TA.quality_features(docs).collect()}
+        assert rows[0]["quality_score"] > rows[3]["quality_score"]
+        assert rows[3]["digit_ratio"] > 0.3
+        assert 0.0 <= rows[0]["quality_score"] <= 1.0
+
+    def test_token_counts(self, docs):
+        rows = {r["doc_id"]: r for r in TA.token_counts(docs).collect()}
+        assert rows[0]["ws_tokens"] == 12
+        assert rows[0]["bpe_est"] >= rows[0]["ws_tokens"]  # short words → ≥1 unit each
+
+    def test_fingerprint_stable_under_whitespace(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "Hello   World Foo"), (1, "hello world foo")], "doc_id long, text string"
+        )
+        fps = [r["fp"] for r in TA.fingerprint(docs).collect()]
+        assert fps[0] == fps[1]
