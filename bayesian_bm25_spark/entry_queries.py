@@ -1607,3 +1607,63 @@ ORACLE_SQL.update(
         "language_id": SQL_LANGUAGE_ID,
     }
 )
+
+
+def q_separability_gate(spark, sf_dir):
+    """Query-adaptive dense gating: silhouette-like separability of the
+    top-10 neighborhood vs the 11-20 contrast shell."""
+    from bayesian_bm25_spark.operators.diagnostics_ops import (
+        ranked_cosines,
+        separability_gates,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        C.cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("sim"),
+    )
+    ranked = ranked_cosines(sims, max_rank=20)
+    out = separability_gates(ranked, local_k=10, shell_k=10)
+    return out.select(
+        "query_id",
+        F.round("cohesion", 6).alias("cohesion_r"),
+        F.round("separation", 6).alias("separation_r"),
+        F.round("gate", 6).alias("gate_r"),
+    )
+
+
+SQL_SEPARABILITY_GATE = """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q
+),
+ranked AS (
+  SELECT query_id, 1e0 - sim AS dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+),
+agg AS (
+  SELECT query_id,
+         avg(CASE WHEN rank <= 10 THEN dist END) AS cohesion,
+         avg(CASE WHEN rank > 10 AND rank <= 20 THEN dist END) AS separation
+  FROM ranked WHERE rank <= 20 GROUP BY query_id
+)
+SELECT query_id,
+       round(cohesion, 6) AS cohesion_r,
+       round(coalesce(separation, cohesion), 6) AS separation_r,
+       round(least(greatest(
+         greatest((greatest(coalesce(separation, cohesion), 0e0) - greatest(cohesion, 0e0))
+                  / greatest(greatest(cohesion, 0e0), greatest(coalesce(separation, cohesion), 0e0), 1e-12),
+                  0e0),
+         0.02e0), 0.98e0), 6) AS gate_r
+FROM agg
+"""
+
+SPARK_QUERIES["separability_gate"] = q_separability_gate
+ORACLE_SQL["separability_gate"] = SQL_SEPARABILITY_GATE

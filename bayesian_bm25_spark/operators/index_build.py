@@ -438,6 +438,34 @@ def _estimate_params(
     return TransformParams(alpha=alpha, beta=beta, base_rate=base_rate)
 
 
+def add_documents(
+    index: BM25Index, new_pages: DataFrame, new_path: str
+) -> BM25Index:
+    """Incremental append with full statistics rebuild.
+
+    IDF/avgdl change with every append, so — like the reference
+    (scorer.py:469-492 'rebuilds the full index') — the combined corpus
+    is re-indexed and α/β/base-rate re-estimated.  In Spark the rebuild
+    is the same checkpointed DAG over `old docs ∪ new docs`; the old
+    tokenization is reused (never recomputed), and df/avgdl/impact are
+    plain re-aggregations.  New doc_ids continue after the old range.
+    """
+    spark = index.spark
+    new_docs = tokenize_pages(new_pages.drop("doc_id") if "doc_id" in new_pages.columns else new_pages)
+    # re-key appended docs after the existing range
+    new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + F.lit(index.n_docs))
+    combined = index.spark.read.parquet(os.path.join(index.path, "docs")).unionByName(new_docs)
+    os.makedirs(new_path, exist_ok=True)
+    ckpt.write_stage(
+        combined,
+        os.path.join(new_path, "docs"),
+        stage="docs",
+        inputs=[os.path.join(index.path, "docs")],
+    )
+    # remaining stages rebuild from the docs checkpoint (pages unused)
+    return build_index(spark, combined.limit(0), new_path, index.config)
+
+
 def load_index(spark: SparkSession, path: str) -> BM25Index:
     """Re-open a built index from its checkpoints (no recompute)."""
     with open(os.path.join(path, "params.json")) as f:

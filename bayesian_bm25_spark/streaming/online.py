@@ -1,0 +1,88 @@
+"""Structured Streaming: online parameter learning + streaming analytics.
+
+The reference's online path is ``update()`` called per feedback
+observation (probability.py:350-473; examples/online_learning.py,
+examples/live_ranking.py).  The Spark-native mapping is a feedback
+stream consumed with ``foreachBatch``: each micro-batch's (score, label)
+rows update the driver-held TransformParams (two floats of state — NOT
+distributed state), after which re-broadcast parameters serve the query
+path.  Temporal decay (TemporalBayesianTransform) rides the same loop.
+
+``windowed_query_stats`` shows the watermark + windowed-aggregation
+shape used for streaming corpus statistics (late events tolerated up to
+the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bayesian_bm25_spark.kernel.transform import TransformParams
+
+FEEDBACK_SCHEMA = "score double, label double, tf double, doc_len_ratio double, ts timestamp"
+
+
+def apply_feedback_batch(params: TransformParams, batch: DataFrame, **update_kw) -> int:
+    """One foreachBatch step: mini-batch SGD update of (α, β).
+
+    The whole micro-batch is ONE reference-semantics ``update()`` call
+    (mini-batch gradients are means over the batch, exactly the
+    reference's array path).  Returns the number of rows consumed.
+    """
+    rows = batch.select("score", "label", "tf", "doc_len_ratio").toPandas()
+    if len(rows) == 0:
+        return 0
+    kw = dict(update_kw)
+    if params.mode == "prior_aware":
+        kw.setdefault("tf", rows["tf"].to_numpy())
+        kw.setdefault("doc_len_ratio", rows["doc_len_ratio"].to_numpy())
+    params.update(rows["score"].to_numpy(), rows["label"].to_numpy(), **kw)
+    return len(rows)
+
+
+def start_online_learning(
+    feedback_stream: DataFrame,
+    params: TransformParams,
+    checkpoint_dir: str,
+    on_batch=None,
+    **update_kw,
+):
+    """Wire a feedback stream into the online updater.
+
+    Returns the StreamingQuery; call ``processAllAvailable()`` to drain
+    in tests.  ``on_batch(batch_id, n_rows, params)`` observes progress.
+    """
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        n = apply_feedback_batch(params, batch, **update_kw)
+        if on_batch is not None:
+            on_batch(batch_id, n, params)
+
+    return (
+        feedback_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_query_stats(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming windowed aggregation with late-data watermark:
+    per-window feedback volume, label rate, and mean score."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("label").alias("label_rate"),
+            F.avg("score").alias("mean_score"),
+        )
+        .select("win.start", "win.end", "n", "label_rate", "mean_score")
+    )

@@ -1,0 +1,117 @@
+"""Two-parallelism scaling benchmark → BENCH/BASELINE.md.
+
+North-rule proxy for the N→4N executor scaling criterion: the identical
+``spark-submit --py-files`` job runs at local[N] and local[4N] on the
+same input; we report build docs/sec, query QPS at both levels and the
+scaling efficiency ``throughput_4N / (4 × throughput_N)`` (target
+≥ 0.8).  Real multi-executor scaling is out of sandbox reach; this is
+the driver-sanctioned proxy (BASELINE.md).
+
+Usage: python tools/scaling_bench.py [N] [N_DOCS] [N_QUERIES]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip(path: str) -> None:
+    with zipfile.ZipFile(path, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "bayesian_bm25_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": str(cores),
+            "BENCH_N_DOCS": str(n_docs),
+            "BENCH_N_QUERIES": str(n_queries),
+        }
+    )
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", f"local[{cores}]",
+            "--py-files", zip_path,
+            "--driver-memory", env.get("BENCH_DRIVER_MEM", "16g"),
+            os.path.join(REPO, "bench.py"),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            return json.loads(line)
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+    raise RuntimeError(f"no JSON line from bench at local[{cores}]")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    n4 = 4 * n
+
+    zip_path = os.path.join(REPO, "BENCH", "bb25spark.zip")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    make_pyfiles_zip(zip_path)
+
+    print(f"running bench at local[{n}]...", file=sys.stderr)
+    r_n = run_bench(n, zip_path, n_docs, n_queries)
+    print(f"running bench at local[{n4}]...", file=sys.stderr)
+    r_4n = run_bench(n4, zip_path, n_docs, n_queries)
+
+    build_eff = r_4n["build_docs_per_sec"] / (4 * r_n["build_docs_per_sec"])
+    qps_eff = r_4n["query_qps"] / (4 * r_n["query_qps"])
+
+    md = f"""# BENCH/BASELINE — two-parallelism scaling run
+
+Same `spark-submit --py-files BENCH/bb25spark.zip bench.py` job on the
+same input (synthetic web-page table, {n_docs} docs seed 42; query batch
+{n_queries}), at `local[{n}]` and `local[{n4}]` — the sandbox proxy for
+N vs 4N executors (BASELINE.md).
+
+| metric | local[{n}] | local[{n4}] | efficiency (4N / 4·N) |
+|---|---|---|---|
+| index build (docs/sec) | {r_n['build_docs_per_sec']} | {r_4n['build_docs_per_sec']} | {build_eff:.3f} |
+| top-10 query QPS | {r_n['query_qps']} | {r_4n['query_qps']} | {qps_eff:.3f} |
+| index build wall (s) | {r_n['queries']['index_build']} | {r_4n['queries']['index_build']} | |
+| query wall (s) | {r_n['queries']['query_top10']} | {r_4n['queries']['query_top10']} | |
+| headline suite total (s) | {r_n['value']} | {r_4n['value']} | |
+
+Target: efficiency ≥ 0.8.  Note wall-clock at these corpus sizes carries
+fixed per-job scheduling overhead (driver-side planning, stage launch);
+efficiency improves with corpus size as task time dominates.  The
+correctness gate (`python -m pytest -x -q`) is independent of
+parallelism level — rank identity is enforced with a pinned tie-break.
+
+Raw JSON:
+
+```json
+{json.dumps(r_n)}
+{json.dumps(r_4n)}
+```
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(md)
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
