@@ -128,6 +128,7 @@ def compute_postings(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_per_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_impact = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
     return (
         tf.join(df_per_term, "term")
         .withColumn(
@@ -143,9 +144,36 @@ def compute_postings(
                 method=cfg.method,
             ),
         )
+        # impact-ordered rank per term: the MaxScore θ-estimation pass
+        # scans only rank ≤ B prefixes (pushed-down parquet filter)
+        .withColumn("impact_rank", F.row_number().over(w_impact))
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)))
-        .select("term_bucket", "term", "doc_id", "tf", "doc_len", "df", "impact")
+        .select(
+            "term_bucket", "term", "doc_id", "tf", "doc_len", "df", "impact", "impact_rank"
+        )
     )
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _read_split_cap(spark: SparkSession, cap: str = "16m"):
+    """Temporarily lower spark.sql.files.maxPartitionBytes.
+
+    Tokenize/explode stages multiply input bytes ~10×: a 300 MB page
+    table at the default 128 MB split size yields 3 input partitions and
+    caps the whole build at 3 tasks no matter how many cores exist.
+    Smaller splits keep map parallelism ≥ cores; the cost (more task
+    launches) is negligible against tokenization work."""
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, cap)
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
 
 
 def build_index(
@@ -156,6 +184,17 @@ def build_index(
     force: bool = False,
 ) -> BM25Index:
     """Build (or resume building) the index at ``path``."""
+    with _read_split_cap(spark):
+        return _build_index_impl(spark, pages, path, config, force)
+
+
+def _build_index_impl(
+    spark: SparkSession,
+    pages: DataFrame,
+    path: str,
+    config: IndexConfig | None = None,
+    force: bool = False,
+) -> BM25Index:
     cfg = config or IndexConfig()
     os.makedirs(path, exist_ok=True)
     t_start = time.time()
@@ -420,17 +459,61 @@ def _estimate_params(
     if not queries:
         return TransformParams(alpha=cfg.alpha or 1.0, beta=cfg.beta or 0.0)
     qdf = spark.createDataFrame(queries, schema="query_id long, terms array<string>")
-    scored = Q.score_queries(postings, qdf, prune_buckets=False)
-    pdf = (
-        scored.where(F.col("score") > 0).select("query_id", "score").toPandas()
-    )  # Arrow transfer — the sample can be hundreds of thousands of rows
+    scored = Q.score_queries(postings, qdf, prune_buckets=False).where(F.col("score") > 0)
+
+    if cfg.base_rate_method == "percentile" or cfg.base_rate != "auto":
+        # fully distributed path: β = exact median, α = 1/std_pop of the
+        # pooled nonzero sample; base-rate = mean over queries of
+        # frac(scores ≥ per-query exact 95th pct)/n_docs.  Spark's exact
+        # ``percentile`` uses the same linear interpolation as numpy, so
+        # the values equal the reference's driver math — without ever
+        # collecting the O(n_docs)-sized score sample.
+        from bayesian_bm25_spark.operators.stats import exact_percentile
+
+        scored = scored.cache()
+        try:
+            row = scored.agg(
+                F.stddev_pop("score").alias("std"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if int(row["n"]) == 0:
+                return TransformParams(alpha=cfg.alpha or 1.0, beta=cfg.beta or 0.0)
+            est_beta = exact_percentile(scored, "score", 0.5)
+            std = float(row["std"])
+            est_alpha = 1.0 / std if std > 0 else 1.0
+            alpha = cfg.alpha if cfg.alpha is not None else est_alpha
+            beta = cfg.beta if cfg.beta is not None else est_beta
+            base_rate: float | None = None
+            if cfg.base_rate == "auto":
+                per_q = scored.groupBy("query_id").agg(
+                    F.expr("percentile(score, 0.95)").alias("thr")
+                )
+                ratios = (
+                    scored.join(per_q, "query_id")
+                    .where(F.col("score") >= F.col("thr"))
+                    .groupBy("query_id")
+                    .agg((F.count(F.lit(1)) / F.lit(float(n_docs))).alias("ratio"))
+                )
+                base_rate = float(
+                    np.clip(float(ratios.agg(F.avg("ratio")).collect()[0][0]), 1e-6, 0.5)
+                )
+            elif isinstance(cfg.base_rate, (int, float)):
+                base_rate = float(cfg.base_rate)
+            return TransformParams(alpha=alpha, beta=beta, base_rate=base_rate)
+        finally:
+            scored.unpersist()
+
+    # mixture/elbow estimators are inherently whole-sample iterative —
+    # Arrow-collect the per-query nonzero scores (reference protocol;
+    # fine for the sampled 50 queries, heavy only at extreme corpus
+    # sizes where "percentile" is the method to use)
+    pdf = scored.select("query_id", "score").toPandas()
     per_query_scores = [
         g.to_numpy(dtype=np.float64)
         for _, g in pdf.groupby("query_id", sort=True)["score"]
     ]
-
     alpha, beta = estimate_alpha_beta(per_query_scores, cfg.alpha, cfg.beta)
-    base_rate: float | None = None
+    base_rate = None
     if cfg.base_rate == "auto":
         base_rate = estimate_base_rate(per_query_scores, n_docs, cfg.base_rate_method)
     elif isinstance(cfg.base_rate, (int, float)):

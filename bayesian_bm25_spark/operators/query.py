@@ -62,17 +62,33 @@ def score_queries(
     *,
     n_buckets: int | None = None,
     prune_buckets: bool = True,
+    co_partition: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, tf_match, doc_len) for every matching doc.
 
     Inner-join semantics: docs with score 0 never appear (the reference's
     ``scores > 0`` active mask falls out of the join for free,
     SURVEY.md §4 item 2).
+
+    Shuffle design: with ``co_partition`` (default) the postings are
+    hash-repartitioned by ``doc_id`` BEFORE the broadcast join.  The
+    broadcast join preserves that partitioning, and HashPartitioning on
+    ``doc_id`` — a subset of the grouping key (query_id, doc_id) —
+    satisfies the aggregation's clustered-distribution requirement, so
+    the groupBy runs WITHOUT a shuffle.  We move |postings ∩ buckets|
+    rows once instead of the joined output (|query terms| × df blow-up:
+    ~20× larger on Zipf query batches, and the thing that stops scaling
+    when it hits disk).  The only remaining exchange is the tiny
+    rank-limited window input.
     """
     qt = query_terms(queries)
     src = postings
     if prune_buckets and n_buckets and "term_bucket" in postings.columns:
         src = prune_query_terms_buckets(postings, qt, n_buckets)
+    if co_partition:
+        p = num_partitions or postings.sparkSession.sparkContext.defaultParallelism * 2
+        src = src.repartition(p, "doc_id")
     joined = src.join(F.broadcast(qt), "term")
     return joined.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("impact") * F.col("qtf")).alias("score"),
@@ -159,6 +175,106 @@ def get_probabilities(
             F.coalesce("score", F.lit(0.0)).alias("score"),
             F.coalesce("probability", F.lit(0.0)).alias("probability"),
         )
+    )
+
+
+def retrieve_maxscore(
+    postings: DataFrame,
+    queries: DataFrame,
+    term_stats: DataFrame,
+    params: TransformParams,
+    avgdl: float,
+    k: int = 10,
+    prefix_len: int = 128,
+    n_buckets: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rank-exact top-k with MaxScore-style pruning — the scale path.
+
+    On Zipf query batches the exhaustive scoring join blows up as
+    Σ_q Σ_{t∈q} df(t): head terms (df ≈ N) contribute ~zero idf yet
+    dominate the join volume.  The top-k is decided by the rarer terms,
+    so we:
+
+      A. θ pass — score only each term's impact-ordered prefix
+         (``impact_rank ≤ prefix_len``, a pushed-down parquet filter).
+         Partial sums are lower bounds of true scores, so the k-th best
+         partial per query is a valid threshold θ_q.
+      B. essential terms — sort a query's terms by ub = max_impact·qtf
+         ascending; terms whose inclusive cumulative ub stays < θ_q are
+         prunable (a doc matching only those is bounded below θ_q).
+      C. candidates — distinct (query, doc) pairs from essential-term
+         postings only (rare terms ⇒ small).
+      D. exact pass — the full scoring join streams through a
+         co-partitioned hash probe of the candidate set (no 10^8-row
+         shuffle, no giant agg hash table), then aggregates per
+         (query, doc) without an exchange and takes the pinned top-k.
+
+    Every true top-k doc has score ≥ θ_q ⇒ matches ≥ 1 essential term ⇒
+    is a candidate, and candidate scores are exact (the filter is
+    doc-level, not row-level) — so ranks and scores are identical to the
+    exhaustive plan; tests enforce it.
+    """
+    spark = postings.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism * 2
+    qt = query_terms(queries)
+    src = postings
+    if n_buckets and "term_bucket" in postings.columns:
+        src = prune_query_terms_buckets(postings, qt, n_buckets)
+
+    # -- A: θ from impact-ordered prefixes ---------------------------------
+    prefix = src.where(F.col("impact_rank") <= prefix_len)
+    partial = (
+        prefix.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("impact") * F.col("qtf")).alias("pscore"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pscore"), F.asc("doc_id"))
+    theta = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .select("query_id", F.col("pscore").alias("theta"))
+    )
+
+    # -- B: essential terms per query --------------------------------------
+    qt_ub = qt.join(F.broadcast(term_stats.select("term", "max_impact")), "term").withColumn(
+        "ub", F.col("max_impact") * F.col("qtf")
+    )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy(F.asc("ub"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qt_flagged = (
+        qt_ub.withColumn("cum_ub", F.sum("ub").over(w_cum))
+        .join(F.broadcast(theta), "query_id", "left")
+        .withColumn(
+            "essential",
+            F.col("theta").isNull() | (F.col("cum_ub") >= F.col("theta")),
+        )
+    )
+    essential_qt = qt_flagged.where("essential").select("query_id", "term")
+
+    # -- C: candidate (query, doc) pairs ------------------------------------
+    candidates = (
+        src.join(F.broadcast(essential_qt), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+    # -- D: exact scoring of candidates only --------------------------------
+    src_p = src.repartition(p, "doc_id")
+    cand_p = candidates.repartition(p, "doc_id")
+    joined = src_p.join(F.broadcast(qt), "term")
+    exact = joined.join(cand_p.hint("shuffle_hash"), ["query_id", "doc_id"])
+    scored = exact.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("impact") * F.col("qtf")).alias("score"),
+        F.count(F.lit(1)).alias("tf_match"),
+        F.first("doc_len").alias("doc_len"),
+    )
+    ranked = topk(scored, k=k)
+    return with_probability(ranked, params, avgdl).select(
+        "query_id", "rank", "doc_id", "score", "probability"
     )
 
 

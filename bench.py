@@ -67,7 +67,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    headline = [] if os.environ.get("BENCH_SKIP_HEADLINE") else HEADLINE
+    for name in headline:
         fn = SPARK_QUERIES[name]
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
@@ -109,8 +110,9 @@ def main() -> None:
 
         qdf = queries_to_df(spark, generate_queries(N_DOCS, seed=42, n_queries=N_QUERIES))
         t0 = time.time()
-        res = Q.retrieve(
-            idx.postings, qdf, idx.params, idx.avgdl, k=10, n_buckets=idx.config.n_buckets
+        res = Q.retrieve_maxscore(
+            idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl,
+            k=10, n_buckets=idx.config.n_buckets,
         )
         n_rows = res.count()
         query_sec = time.time() - t0

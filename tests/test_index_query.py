@@ -287,3 +287,45 @@ class TestZipfCorpus:
         for r in probs:
             term = single[int(r["query_id"])][0]
             assert r["probability"] <= ub[term] + 1e-12
+
+
+class TestMaxScore:
+    """MaxScore pruned retrieval must be rank- and score-identical to the
+    exhaustive plan."""
+
+    def test_six_docs_identical(self, six_index):
+        queries = [["cat"], ["dog"], ["machine", "learning"], ["cat", "cat"]]
+        qdf = queries_to_df(six_index.spark, queries)
+        exhaustive = Q.retrieve(
+            six_index.postings, qdf, six_index.params, six_index.avgdl, k=4
+        ).collect()
+        pruned = Q.retrieve_maxscore(
+            six_index.postings, qdf, six_index.term_stats,
+            six_index.params, six_index.avgdl, k=4, prefix_len=2,
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        e = {key(r): (r["doc_id"], r["score"], r["probability"]) for r in exhaustive}
+        p = {key(r): (r["doc_id"], r["score"], r["probability"]) for r in pruned}
+        assert e == p
+
+    @pytest.fixture(scope="class")
+    def zipf_idx(self, spark, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("idx_zipf_ms"))
+        pages = generate_pages(spark, 1000, seed=42, num_partitions=8)
+        return build_index(
+            spark, pages, path, IndexConfig(base_rate="auto", build_compressed=False)
+        )
+
+    def test_zipf_identical_and_prunes(self, zipf_idx):
+        idx = zipf_idx
+        queries = generate_queries(1000, seed=123, n_queries=30)
+        qdf = queries_to_df(idx.spark, queries)
+        exhaustive = Q.retrieve(idx.postings, qdf, idx.params, idx.avgdl, k=10).collect()
+        pruned = Q.retrieve_maxscore(
+            idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl,
+            k=10, prefix_len=64,
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        e = {key(r): (r["doc_id"], round(r["score"], 9)) for r in exhaustive}
+        p = {key(r): (r["doc_id"], round(r["score"], 9)) for r in pruned}
+        assert e == p
