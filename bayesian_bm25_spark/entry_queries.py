@@ -1667,3 +1667,124 @@ FROM agg
 
 SPARK_QUERIES["separability_gate"] = q_separability_gate
 ORACLE_SQL["separability_gate"] = SQL_SEPARABILITY_GATE
+
+
+# ---------------------------------------------------------------------
+# Flagship hybrid pipeline (reference hybrid_beir protocol §3.3):
+# sparse BM25→probability + dense cosine → candidate union → balanced
+# log-odds fusion → top-k.
+# ---------------------------------------------------------------------
+
+
+def q_hybrid_balanced_topk(spark, sf_dir):
+    from bayesian_bm25_spark.kernel.transform import TransformParams
+    from bayesian_bm25_spark.operators import fusion_ops as FO
+
+    docs, postings, _, avgdl = _corpus_postings(spark, sf_dir)
+    params = TransformParams(alpha=P_ALPHA, beta=P_BETA, base_rate=P_BR)
+    sparse = Q.with_probability(
+        Q.score_queries(postings, _doc_queries(docs), prune_buckets=False), params, avgdl
+    ).select("query_id", "doc_id", "probability")
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qemb = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(qemb))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            C.cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("sim"),
+        )
+        # keep the dense top-50 per query (the reference's top-R per
+        # signal protocol, scaled to the testdata size)
+        .withColumn(
+            "drank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc(F.round(F.col("sim"), 6)), F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("drank") <= 50)
+        .drop("drank")
+    )
+    cands = FO.union_candidates(sparse, dense)
+    fused = FO.balanced_fusion(cands, weight=0.5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("fused", 6)), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", F.round("fused", 6).alias("fused_r"))
+    )
+
+
+_HB_LIK = _SIG.format(x=f"{P_ALPHA} * (score - {P_BETA})")
+_HB_PRIOR = (
+    "least(greatest(0.7e0 * (0.2e0 + 0.7e0 * least(1.0e0, tf_match / 10.0e0))"
+    " + 0.3e0 * (0.3e0 + 0.6e0 * (1e0 - least(1.0e0, abs(dl / avgdl - 0.5e0) * 2e0))),"
+    " 0.1e0), 0.9e0)"
+)
+SQL_HYBRID_BALANCED_TOPK = f"""
+WITH {SQL_TOKS},
+sparse AS (
+  SELECT scored.query_id, scored.doc_id,
+         {_sql_posterior(_HB_LIK, _HB_PRIOR, P_BR).replace("scored.score", "score")} AS p_sparse
+  FROM scored CROSS JOIN stats s
+),
+dense_all AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0) q
+),
+dense AS (
+  SELECT query_id, doc_id, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(sim, 6) DESC, doc_id ASC) AS drank
+    FROM dense_all
+  ) WHERE drank <= 50
+),
+cands AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(s.p_sparse, 0e0) AS p_sparse,
+         coalesce(d.sim, 0e0) AS cos_dense
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+logits AS (
+  SELECT query_id, doc_id,
+         {_sql_logit("p_sparse")} AS ls,
+         {_sql_logit(_sql_clamp("(1e0 + cos_dense) / 2e0"))} AS ld
+  FROM cands
+),
+mm AS (
+  SELECT query_id, doc_id, ls, ld,
+         min(ls) OVER (PARTITION BY query_id) AS slo,
+         max(ls) OVER (PARTITION BY query_id) AS shi,
+         min(ld) OVER (PARTITION BY query_id) AS dlo,
+         max(ld) OVER (PARTITION BY query_id) AS dhi
+  FROM logits
+),
+fused AS (
+  SELECT query_id, doc_id,
+         0.5e0 * (CASE WHEN dhi - dlo < 1e-12 THEN 0e0 ELSE (ld - dlo) / (dhi - dlo) END)
+       + 0.5e0 * (CASE WHEN shi - slo < 1e-12 THEN 0e0 ELSE (ls - slo) / (shi - slo) END)
+           AS fused
+  FROM mm
+),
+ranked AS (
+  SELECT query_id, doc_id, round(fused, 6) AS fused_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(fused, 6) DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, fused_r FROM ranked WHERE rank <= 10
+"""
+
+SPARK_QUERIES["hybrid_balanced_topk"] = q_hybrid_balanced_topk
+ORACLE_SQL["hybrid_balanced_topk"] = SQL_HYBRID_BALANCED_TOPK
