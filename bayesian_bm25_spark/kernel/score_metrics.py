@@ -134,10 +134,12 @@ def ndcg_at_k(relevances, k):
 
 
 def precision_at_k(relevances, k):
+    """sum(rel > 0) / k — divisor is k even when fewer results exist
+    (reference benchmarks/metrics.py:54-60)."""
     rel = np.asarray(relevances, dtype=np.float64)[:k]
     if len(rel) == 0:
         return 0.0
-    return float(np.mean(rel > 0))
+    return float(np.sum(rel > 0) / k)
 
 
 def average_precision(relevances):

@@ -223,3 +223,23 @@ class TestEstimators:
         assert len(a) == len(b)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+
+class TestIRReferenceParity:
+    def test_ir_metrics_bitwise(self, ref):
+        import importlib
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        rm = importlib.import_module("benchmarks.metrics")
+        rng = np.random.default_rng(42)
+        for _ in range(20):
+            rel = rng.integers(0, 4, rng.integers(1, 15)).astype(float)
+            for k in (1, 5, 10, 20):
+                assert dcg_at_k(rel, k) == rm.dcg_at_k(rel, k)
+                assert ndcg_at_k(rel, k) == rm.ndcg_at_k(rel, k)
+                assert precision_at_k(rel, k) == rm.precision_at_k(rel, k)
+            assert average_precision(rel) == pytest.approx(
+                rm.average_precision(rel), rel=1e-12
+            )
+        assert precision_at_k([1.0], 10) == rm.precision_at_k(np.array([1.0]), 10)
