@@ -64,10 +64,19 @@ def doc_tokens(doc_id: int, seed: int, vocab_size: int, avg_len: int,
     n = max(5, int(round(rng.normal(avg_len, 0.3 * avg_len))))
     cdf = _cdf_cache(vocab_size, weights)
     term_ids = np.searchsorted(cdf, rng.random(n), side="right")
-    return [f"term_{t}" for t in term_ids]
+    return _vocab_cache(vocab_size)[term_ids].tolist()
 
 
 _CDF_CACHE: dict[int, np.ndarray] = {}
+_VOCAB_CACHE: dict[int, np.ndarray] = {}
+
+
+def _vocab_cache(vocab_size: int) -> np.ndarray:
+    vocab = _VOCAB_CACHE.get(vocab_size)
+    if vocab is None:
+        vocab = np.array([f"term_{t}" for t in range(vocab_size)], dtype=object)
+        _VOCAB_CACHE[vocab_size] = vocab
+    return vocab
 
 
 def _cdf_cache(vocab_size: int, weights: np.ndarray) -> np.ndarray:
