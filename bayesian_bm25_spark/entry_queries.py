@@ -273,12 +273,12 @@ LIMIT 100
 
 
 def q_block_max(spark, sf_dir):
+    """Doc-index blocks (reference scorer.py:55-81: block b covers doc
+    indices [b·bs, (b+1)·bs)): block_id = doc_id // 128."""
     _, postings, _, _ = _corpus_postings(spark, sf_dir)
-    w = Window.partitionBy("term").orderBy("doc_id")
     return (
         postings.where(F.col("df") >= 50)
-        .withColumn("local_rank", F.row_number().over(w) - 1)
-        .withColumn("block_id", (F.col("local_rank") / 128).cast("long"))
+        .withColumn("block_id", (F.col("doc_id") / 128).cast("long"))
         .groupBy("term", "block_id")
         .agg(F.round(F.max("impact"), 6).alias("block_max_r"))
     )
@@ -287,9 +287,7 @@ def q_block_max(spark, sf_dir):
 SQL_BLOCK_MAX = f"""
 WITH {SQL_TOKS},
 blocked AS (
-  SELECT term, doc_id, impact,
-         ((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) // 128)::BIGINT
-           AS block_id
+  SELECT term, doc_id, impact, (doc_id // 128)::BIGINT AS block_id
   FROM post WHERE df >= 50
 )
 SELECT term, block_id, round(max(impact), 6) AS block_max_r

@@ -61,6 +61,7 @@ class IndexConfig:
     base_rate: float | str | None = None  # None | "auto" | float
     base_rate_method: str = "percentile"
     block_size: int = 128
+    prefix_len: int = 128  # MaxScore θ-pass prefix depth
     n_buckets: int = 32  # term-hash layout buckets (partition pruning)
     n_salts: int = 8  # salt factor for the compressed posting-list build
     build_compressed: bool = True
@@ -128,7 +129,6 @@ def compute_postings(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_per_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w_impact = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
     return (
         tf.join(df_per_term, "term")
         .withColumn(
@@ -144,13 +144,8 @@ def compute_postings(
                 method=cfg.method,
             ),
         )
-        # impact-ordered rank per term: the MaxScore θ-estimation pass
-        # scans only rank ≤ B prefixes (pushed-down parquet filter)
-        .withColumn("impact_rank", F.row_number().over(w_impact))
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)))
-        .select(
-            "term_bucket", "term", "doc_id", "tf", "doc_len", "df", "impact", "impact_rank"
-        )
+        .select("term_bucket", "term", "doc_id", "tf", "doc_len", "df", "impact")
     )
 
 
@@ -233,14 +228,29 @@ def _build_index_impl(
     )
 
     term_stats_dir = os.path.join(path, "term_stats")
-    term_stats = ckpt.run_stage(
-        spark,
-        term_stats_dir,
-        lambda: postings.groupBy("term").agg(
+
+    def build_term_stats() -> DataFrame:
+        base = postings.groupBy("term").agg(
             F.first("term_bucket").alias("term_bucket"),
             F.first("df").alias("df"),
             F.max("impact").alias("max_impact"),
-        ),
+        )
+        # MaxScore θ-pass cutoff: the B-th largest impact per term.  The
+        # rank-≤-B window compiles to WindowGroupLimit (map-side top-B
+        # before the shuffle), so the Zipf head never sorts in one task.
+        w = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
+        cutoff = (
+            postings.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= cfg.prefix_len)
+            .groupBy("term")
+            .agg(F.min("impact").alias("prefix_cutoff"))
+        )
+        return base.join(cutoff, "term", "left")
+
+    term_stats = ckpt.run_stage(
+        spark,
+        term_stats_dir,
+        build_term_stats,
         stage="term_stats",
         inputs=[postings_dir],
         force=force,
@@ -249,10 +259,13 @@ def _build_index_impl(
     block_max_dir = os.path.join(path, "block_max")
 
     def build_block_max() -> DataFrame:
-        w = Window.partitionBy("term").orderBy("doc_id")
+        # blocks are doc-INDEX ranges (reference scorer.py:73: block b
+        # covers doc indices [b·bs, (b+1)·bs)): block_id = doc_id // bs —
+        # pure column math, no per-term sort, no Zipf-head straggler
         return (
-            postings.withColumn("local_rank", F.row_number().over(w) - 1)
-            .withColumn("block_id", (F.col("local_rank") / cfg.block_size).cast("long"))
+            postings.withColumn(
+                "block_id", (F.col("doc_id") / cfg.block_size).cast("long")
+            )
             .groupBy("term", "block_id")
             .agg(F.max("impact").alias("block_max_impact"))
         )

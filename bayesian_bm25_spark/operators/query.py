@@ -185,7 +185,6 @@ def retrieve_maxscore(
     params: TransformParams,
     avgdl: float,
     k: int = 10,
-    prefix_len: int = 128,
     n_buckets: int | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -197,9 +196,10 @@ def retrieve_maxscore(
     so we:
 
       A. θ pass — score only each term's impact-ordered prefix
-         (``impact_rank ≤ prefix_len``, a pushed-down parquet filter).
-         Partial sums are lower bounds of true scores, so the k-th best
-         partial per query is a valid threshold θ_q.
+         (``impact ≥ prefix_cutoff``, the B-th largest impact per term
+         precomputed in term_stats).  Partial sums are lower bounds of
+         true scores, so the k-th best partial per query is a valid
+         threshold θ_q.
       B. essential terms — sort a query's terms by ub = max_impact·qtf
          ascending; terms whose inclusive cumulative ub stays < θ_q are
          prunable (a doc matching only those is bounded below θ_q).
@@ -223,7 +223,10 @@ def retrieve_maxscore(
         src = prune_query_terms_buckets(postings, qt, n_buckets)
 
     # -- A: θ from impact-ordered prefixes ---------------------------------
-    prefix = src.where(F.col("impact_rank") <= prefix_len)
+    cutoffs = term_stats.select("term", "prefix_cutoff")
+    prefix = src.join(F.broadcast(cutoffs), "term").where(
+        F.col("impact") >= F.col("prefix_cutoff")
+    )
     partial = (
         prefix.join(F.broadcast(qt), "term")
         .groupBy("query_id", "doc_id")

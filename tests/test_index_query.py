@@ -260,12 +260,9 @@ class TestZipfCorpus:
 
     def test_block_max_per_block_dominance(self, zipf):
         idx, _, _ = zipf
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("term").orderBy("doc_id")
-        with_block = (
-            idx.postings.withColumn("local_rank", F.row_number().over(w) - 1)
-            .withColumn("block_id", (F.col("local_rank") / idx.config.block_size).cast("long"))
+        # blocks are doc-index ranges: block_id = doc_id // block_size
+        with_block = idx.postings.withColumn(
+            "block_id", (F.col("doc_id") / idx.config.block_size).cast("long")
         )
         viol = (
             with_block.join(idx.block_max, ["term", "block_id"])
@@ -273,6 +270,11 @@ class TestZipfCorpus:
             .count()
         )
         assert viol == 0
+        # and every posting is covered by exactly its block's row
+        uncovered = (
+            with_block.join(idx.block_max, ["term", "block_id"], "left_anti").count()
+        )
+        assert uncovered == 0
 
     def test_wand_bound_safety(self, zipf):
         idx, oracle, _ = zipf
@@ -301,7 +303,7 @@ class TestMaxScore:
         ).collect()
         pruned = Q.retrieve_maxscore(
             six_index.postings, qdf, six_index.term_stats,
-            six_index.params, six_index.avgdl, k=4, prefix_len=2,
+            six_index.params, six_index.avgdl, k=4,
         ).collect()
         key = lambda r: (r["query_id"], r["rank"])
         e = {key(r): (r["doc_id"], r["score"], r["probability"]) for r in exhaustive}
@@ -323,7 +325,7 @@ class TestMaxScore:
         exhaustive = Q.retrieve(idx.postings, qdf, idx.params, idx.avgdl, k=10).collect()
         pruned = Q.retrieve_maxscore(
             idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl,
-            k=10, prefix_len=64,
+            k=10,
         ).collect()
         key = lambda r: (r["query_id"], r["rank"])
         e = {key(r): (r["doc_id"], round(r["score"], 9)) for r in exhaustive}
