@@ -384,7 +384,9 @@ def _build_compressed_lists(
     """
     seg_dir = os.path.join(path, "segments")
     list_dir = os.path.join(path, "posting_lists")
-    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    # over-partition the python encode stages 4× so uneven (term, salt)
+    # run lengths don't leave cores idle behind stragglers
+    n_part = max(spark.sparkContext.defaultParallelism * 4, 8)
 
     def encode_runs(batches):
         def flush(g: dict) -> dict:

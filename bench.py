@@ -108,6 +108,7 @@ def main() -> None:
         timings["index_build"] = round(build_sec, 4)
         total += build_sec
 
+        spark.catalog.clearCache()
         qdf = queries_to_df(spark, generate_queries(N_DOCS, seed=42, n_queries=N_QUERIES))
         t0 = time.time()
         res = Q.retrieve_maxscore(
