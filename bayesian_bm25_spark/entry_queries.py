@@ -1786,3 +1786,35 @@ SELECT query_id, rank, doc_id, fused_r FROM ranked WHERE rank <= 10
 
 SPARK_QUERIES["hybrid_balanced_topk"] = q_hybrid_balanced_topk
 ORACLE_SQL["hybrid_balanced_topk"] = SQL_HYBRID_BALANCED_TOPK
+
+
+def q_multihead_fusion(spark, sf_dir):
+    """Multi-head attention fusion (reference Remark 8.6): 3 seeded
+    heads, fused output = mean-logit of head outputs — rows-only
+    (seeded matrices)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from bayesian_bm25_spark.functions.pudfs import attention_fusion_udf
+    from bayesian_bm25_spark.kernel.combine import MultiHeadAttentionLogOddsWeights
+
+    mh = MultiHeadAttentionLogOddsWeights(2, 3, n_heads=3)
+    s = _signals(spark, sf_dir)
+    feats = (
+        s.withColumn("f1", F.col("p1") * 2 - 1)
+        .withColumn("f2", F.col("p2") * 2 - 1)
+        .withColumn("f3", F.lit(0.5))
+    )
+    out = feats
+    for i, head in enumerate(mh.heads):
+        fuse = attention_fusion_udf(head.W, head.b, head.alpha)
+        out = out.withColumn(f"h{i}", fuse("p1", "p2", "f1", "f2", "f3"))
+    logits = F.array(*[C.logit(F.col(f"h{i}")) for i in range(3)])
+    mean_logit = F.aggregate(logits, F.lit(0.0), lambda a, x: a + x) / 3.0
+    return out.select(
+        "doc_id", F.round(C.sigmoid(mean_logit), 6).alias("mh_fused_r")
+    )
+
+
+SPARK_QUERIES["multihead_fusion"] = q_multihead_fusion

@@ -200,3 +200,37 @@ class TestIncremental:
         br = estimate_base_rate(pq, 6, "percentile")
         assert idx2.params.alpha == pytest.approx(a, rel=1e-9)
         assert idx2.params.base_rate == pytest.approx(br, rel=1e-9)
+
+
+class TestPartialResume:
+    def test_rebuild_only_missing_stages(self, spark, tmp_path):
+        """Kill-and-rerun semantics: deleting a later stage's checkpoint
+        and re-running the build recomputes ONLY that stage (earlier
+        checkpoints untouched) and yields an identical index."""
+        import os
+        import shutil
+
+        from bayesian_bm25_spark.plans.checkpoint import read_manifest
+
+        pages = spark.createDataFrame(
+            [(i, f"u{i}", t, "en") for i, t in enumerate(SIX_DOCS)],
+            "doc_id long, url string, text string, lang string",
+        )
+        path = str(tmp_path / "resume")
+        idx1 = build_index(spark, pages, path, IndexConfig(base_rate="auto"))
+        before = {(r["term"], r["doc_id"]): r["impact"] for r in idx1.postings.collect()}
+        n_term_stats = idx1.term_stats.count()
+        alpha1 = idx1.params.alpha
+        docs_manifest = read_manifest(os.path.join(path, "docs"))
+
+        # simulate a crash after postings: wipe term_stats + block_max
+        shutil.rmtree(os.path.join(path, "term_stats"))
+        shutil.rmtree(os.path.join(path, "block_max"))
+        idx2 = build_index(spark, pages.limit(0), path, idx1.config)
+
+        # docs checkpoint untouched (same manifest timestamp = no recompute)
+        assert read_manifest(os.path.join(path, "docs")) == docs_manifest
+        after = {(r["term"], r["doc_id"]): r["impact"] for r in idx2.postings.collect()}
+        assert after == before
+        assert idx2.term_stats.count() == n_term_stats
+        assert idx2.params.alpha == pytest.approx(alpha1, rel=1e-9)
