@@ -1227,6 +1227,10 @@ def q_rrf_hybrid(spark, sf_dir):
     from bayesian_bm25_spark.operators import fusion_ops as FO
 
     sparse, dense = _two_signal_frames(spark, sf_dir)
+    # rank on the rounded score so 1e-15 engine-sum differences cannot
+    # flip near-tie ranks between Spark and the DuckDB oracle
+    sparse = sparse.withColumn("score", F.round("score", 6))
+    dense = dense.withColumn("sim", F.round("sim", 6))
     fused = FO.rrf_fusion(sparse, dense, k=60, sparse_col="score", dense_col="sim")
     out = FO.topk_fused(fused, k=10)
     return out.select(
@@ -1240,13 +1244,13 @@ SQL_RRF_HYBRID = (
 s_rank AS (
   SELECT query_id, doc_id,
          1e0 / (60 + row_number() OVER (PARTITION BY query_id
-                                        ORDER BY score DESC, doc_id ASC)) AS rrf_s
+                                        ORDER BY round(score, 6) DESC, doc_id ASC)) AS rrf_s
   FROM sparse
 ),
 d_rank AS (
   SELECT query_id, doc_id,
          1e0 / (60 + row_number() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, doc_id ASC)) AS rrf_d
+                                        ORDER BY round(sim, 6) DESC, doc_id ASC)) AS rrf_d
   FROM dense
 ),
 fused AS (
