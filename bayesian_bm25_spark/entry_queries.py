@@ -966,13 +966,71 @@ def q_multimodal_features(spark, sf_dir):
     feature extraction via mapInPandas.  Decode is a deterministic stub
     (image/audio libs are not in this container — see
     operators.multimodal); the Spark-side schema/partitioning/UDF shape
-    is real."""
+    is real.  All output columns are scalar (chunk_sig is a joined
+    string) and have an exact DuckDB oracle."""
     from bayesian_bm25_spark.operators.multimodal import extract_stub_features
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"), F.lit("text/plain").alias("mime")
     )
-    return extract_stub_features(docs)
+    return extract_stub_features(docs).select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean_r"),
+        F.round("byte_entropy", 6).alias("byte_entropy_r"),
+        "chunk_sig",
+    )
+
+
+# FNV-1a fold in DuckDB: UHUGEINT multiply mod 2^64 keeps the 64-bit wrap
+# exact; the documents text is ASCII (driver-generated), so UTF-8 bytes ==
+# ord(char).  Chunk boundaries replicate numpy.array_split; the fold caps
+# at the first 256 bytes per chunk (operators/multimodal.fnv_chunk_hashes).
+_SQL_FNV = (
+    "(list_reduce(list_prepend(14695981039346656037::UBIGINT, {chunk}), "
+    "(a, b) -> ((xor(a, b)::UHUGEINT * 1099511628211::UHUGEINT) "
+    "% 18446744073709551616::UHUGEINT)::UBIGINT) "
+    "% 9223372036854775808::UBIGINT)::BIGINT"
+)
+
+_SQL_CHUNK = (
+    "bs[(c * (n_bytes // 4) + least(c, n_bytes % 4) + 1) : "
+    "(c * (n_bytes // 4) + least(c, n_bytes % 4) "
+    "+ least(n_bytes // 4 + (CASE WHEN c < n_bytes % 4 THEN 1 ELSE 0 END), 256))]"
+)
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH base AS (
+  SELECT doc_id, 'text/plain' AS mime, strlen(text)::BIGINT AS n_bytes,
+         list_transform(generate_series(1, strlen(text)),
+                        i -> ord(substr(text, i, 1))::UBIGINT) AS bs
+  FROM documents
+),
+exploded AS (SELECT doc_id, unnest(bs) AS b FROM base),
+cnts AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM exploded GROUP BY doc_id, b),
+tot AS (SELECT doc_id, sum(c) AS n, sum(b * c) / sum(c) AS byte_mean FROM cnts GROUP BY doc_id),
+ent AS (
+  SELECT cnts.doc_id, tot.byte_mean,
+         -sum((c / n) * log2(c / n)) AS byte_entropy
+  FROM cnts JOIN tot USING (doc_id) GROUP BY cnts.doc_id, tot.byte_mean
+),
+hashes AS (
+  SELECT doc_id, c, {_SQL_FNV.format(chunk=_SQL_CHUNK)} AS h
+  FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)
+),
+sigs AS (
+  SELECT doc_id, array_to_string(list(h ORDER BY c), '|') AS chunk_sig
+  FROM hashes GROUP BY doc_id
+)
+SELECT base.doc_id, base.mime, base.n_bytes,
+       round(coalesce(ent.byte_mean, 0e0), 6) AS byte_mean_r,
+       round(coalesce(ent.byte_entropy, 0e0), 6) AS byte_entropy_r,
+       sigs.chunk_sig
+FROM base
+LEFT JOIN ent ON base.doc_id = ent.doc_id
+JOIN sigs ON base.doc_id = sigs.doc_id
+"""
 
 
 def q_attention_fusion(spark, sf_dir):
@@ -1056,6 +1114,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
 
 

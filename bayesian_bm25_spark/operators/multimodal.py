@@ -9,6 +9,10 @@ whole partition.  The decode step itself is a STUB in this container
 raise ``NotImplementedError``, and ``extract_stub_features`` substitutes
 a deterministic byte-level featurizer so the Spark-side plumbing —
 schema, batch shape, UDF signature, partitioning — is real and tested.
+
+The featurizer output is scalar-only (``chunk_sig`` is a '|'-joined
+string, not an array) so downstream canonicalization/sorting works, and
+every column has an exact DuckDB oracle (entry ``multimodal_features``).
 """
 
 from __future__ import annotations
@@ -21,8 +25,12 @@ from pyspark.sql import DataFrame
 
 FEATURE_SCHEMA = (
     "doc_id long, mime string, n_bytes long, byte_mean double, "
-    "byte_entropy double, chunk_hashes array<long>"
+    "byte_entropy double, chunk_sig string"
 )
+
+FNV_OFFSET = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+_MASK63 = np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub
@@ -37,46 +45,76 @@ def decode_audio(payload: bytes):  # pragma: no cover - stub
     raise NotImplementedError("audio decoding requires an audio library (not in container)")
 
 
-def _byte_features(payload: bytes, n_chunks: int = 4) -> tuple[float, float, list[int]]:
-    """Deterministic stand-in featurizer: byte mean, byte entropy, and
-    per-chunk polynomial rolling hashes (the 'document fingerprinting'
-    primitive applied to binary payloads)."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    if arr.size == 0:
-        return 0.0, 0.0, [0] * n_chunks
-    counts = np.bincount(arr, minlength=256).astype(np.float64)
-    p = counts[counts > 0] / arr.size
-    entropy = float(-(p * np.log2(p)).sum())
-    hashes = []
-    for chunk in np.array_split(arr, n_chunks):
-        h = np.uint64(1469598103934665603)  # FNV offset basis
-        prime = np.uint64(1099511628211)
-        # vectorized FNV-1a via cumulative fold in blocks
-        acc = h
-        for b in chunk[:256]:  # cap per-chunk work; deterministic prefix
-            acc = np.uint64((int(acc) ^ int(b)) * int(prime) & 0xFFFFFFFFFFFFFFFF)
-        hashes.append(int(np.int64(np.uint64(acc) & np.uint64(0x7FFFFFFFFFFFFFFF))))
-    return float(arr.mean()), entropy, hashes
+def fnv_chunk_hashes(payloads: list[bytes], n_chunks: int = 4, cap: int = 256) -> np.ndarray:
+    """(n, n_chunks) int64 FNV-1a rolling hashes, vectorized ACROSS docs.
+
+    Each payload is split into ``n_chunks`` contiguous chunks
+    (numpy.array_split boundaries: chunk c starts at c·(n//k)+min(c, n%k));
+    the hash folds the first ``cap`` bytes of each chunk.  The fold is a
+    sequential xor-multiply chain, so it is vectorized across the batch
+    dimension instead: one (rows, cap) matrix, ``cap`` numpy steps total —
+    no per-document Python loop in the fold.  Top bit cleared so the value
+    fits a signed 64-bit column.
+    """
+    mats = []
+    for b in payloads:
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        mat = np.full((n_chunks, cap), -1, dtype=np.int16)
+        if arr.size:
+            div, rem = divmod(arr.size, n_chunks)
+            for c in range(n_chunks):
+                start = c * div + min(c, rem)
+                size = div + (1 if c < rem else 0)
+                chunk = arr[start : start + min(size, cap)]
+                mat[c, : len(chunk)] = chunk
+        mats.append(mat)
+    if not mats:
+        return np.empty((0, n_chunks), dtype=np.int64)
+    m = np.concatenate(mats)
+    acc = np.full(m.shape[0], FNV_OFFSET, dtype=np.uint64)
+    for j in range(cap):
+        col = m[:, j]
+        live = col >= 0
+        if not live.any():
+            break
+        acc[live] = (acc[live] ^ col[live].astype(np.uint64)) * FNV_PRIME
+    return (acc & _MASK63).astype(np.int64).reshape(-1, n_chunks)
 
 
-def extract_stub_features(df: DataFrame) -> DataFrame:
+def byte_stats(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_bytes, byte_mean, byte_entropy) per payload (Shannon, log2)."""
+    n = np.empty(len(payloads), dtype=np.int64)
+    mean = np.zeros(len(payloads), dtype=np.float64)
+    ent = np.zeros(len(payloads), dtype=np.float64)
+    for i, b in enumerate(payloads):
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        n[i] = arr.size
+        if arr.size:
+            counts = np.bincount(arr, minlength=256).astype(np.float64)
+            p = counts[counts > 0] / arr.size
+            mean[i] = float(arr.mean())
+            ent[i] = float(-(p * np.log2(p)).sum())
+    return n, mean, ent
+
+
+def extract_stub_features(df: DataFrame, n_chunks: int = 4) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, blob, mime) rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, blob, mime in zip(pdf["doc_id"], pdf["blob"], pdf["mime"]):
-                mean, ent, hashes = _byte_features(bytes(blob))
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "mime": mime,
-                        "n_bytes": len(bytes(blob)),
-                        "byte_mean": mean,
-                        "byte_entropy": ent,
-                        "chunk_hashes": hashes,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            payloads = [bytes(b) for b in pdf["blob"]]
+            n_bytes, mean, ent = byte_stats(payloads)
+            hashes = fnv_chunk_hashes(payloads, n_chunks=n_chunks)
+            sigs = ["|".join(str(int(h)) for h in row) for row in hashes]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "mime": pdf["mime"],
+                    "n_bytes": n_bytes,
+                    "byte_mean": mean,
+                    "byte_entropy": ent,
+                    "chunk_sig": sigs,
+                }
+            )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
