@@ -944,21 +944,93 @@ def q_compressed_postings(spark, sf_dir):
     )
 
 
-def q_isotonic_calibrate(spark, sf_dir):
-    """Driver-fit PAVA + distributed interpolation (pandas UDF with
-    broadcast breakpoints) — inherently sequential fit, rows-only."""
+def _isotonic_fit_rows(rows):
+    """Weighted PAVA over (rounded score, Σy, count) aggregates —
+    shared by the Spark entry and the oracle builder so both sides fit
+    identical breakpoints."""
     import numpy as np
 
-    from bayesian_bm25_spark.functions.pudfs import isotonic_udf
     from bayesian_bm25_spark.kernel.calibrate import pava_fit
 
+    pr = np.array([r[0] for r in rows], dtype=np.float64)
+    sy = np.array([r[1] for r in rows], dtype=np.float64)
+    cnt = np.array([r[2] for r in rows], dtype=np.float64)
+    return pava_fit(pr, sy / cnt, weights=cnt)
+
+
+def q_isotonic_calibrate(spark, sf_dir):
+    """Driver-fit PAVA + distributed interpolation (pandas UDF with
+    broadcast breakpoints).  The fit input is pre-aggregated by rounded
+    score, so the driver collect is bounded (≤ one row per distinct
+    6-decimal probability, ≤ 10^6 rows at ANY corpus size); the oracle
+    inlines the fitted breakpoints into interpolation SQL."""
+    from bayesian_bm25_spark.functions.pudfs import isotonic_udf
+
     probs = _emb_probs(spark, sf_dir)
-    sample = probs.select("p", "y").collect()
-    bx, by = pava_fit(
-        np.array([r["p"] for r in sample]), np.array([r["y"] for r in sample])
+    agg = (
+        probs.groupBy(F.round("p", 6).alias("pr"))
+        .agg(F.sum("y").alias("sy"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
     )
+    bx, by = _isotonic_fit_rows([(r["pr"], r["sy"], r["cnt"]) for r in agg])
     iso = isotonic_udf(bx, by)
     return probs.select("vec_id", F.round(iso(F.col("p")), 6).alias("iso_p_r"))
+
+
+def _sql_double(v: float) -> str:
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
+def build_sql_isotonic_calibrate(sf_dir: str | None = None) -> str:
+    """Data-dependent oracle: run the SAME rounded-score aggregation in
+    DuckDB, fit the SAME weighted PAVA on the driver, then emit SQL that
+    interpolates the fitted breakpoints (kernel.calibrate.isotonic_calibrate
+    semantics: searchsorted-left segments, edge clamp to by[0]/by[-1],
+    midpoint on x-ties, clamp to (1e-10, 1-1e-10))."""
+    import os
+
+    import duckdb
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    rows = con.sql(
+        f"WITH {_SQL_EMB_PROBS} "
+        "SELECT round(p, 6) AS pr, sum(y) AS sy, count(*) AS cnt "
+        "FROM probs GROUP BY pr"
+    ).fetchall()
+    con.close()
+    bx, by = _isotonic_fit_rows(rows)
+    clamp = lambda e: f"least(greatest({e}, 1e-10), 1e0 - 1e-10)"  # noqa: E731
+    if len(bx) == 1:
+        return (
+            f"WITH {_SQL_EMB_PROBS} SELECT vec_id, "
+            f"round({clamp(_sql_double(by[0]))}, 6) AS iso_p_r FROM probs"
+        )
+    vals = ", ".join(
+        f"({_sql_double(bx[i - 1])}, {_sql_double(by[i - 1])}, "
+        f"{_sql_double(bx[i])}, {_sql_double(by[i])})"
+        for i in range(1, len(bx))
+    )
+    interp = (
+        "CASE WHEN b.x1 - b.x0 < 1e-12 THEN (b.y0 + b.y1) / 2e0 "
+        "ELSE b.y0 + (p - b.x0) / (CASE WHEN b.x1 - b.x0 < 1e-12 THEN 1e0 "
+        "ELSE b.x1 - b.x0 END) * (b.y1 - b.y0) END"
+    )
+    edges = (
+        f"CASE WHEN p <= {_sql_double(bx[0])} THEN {_sql_double(by[0])} "
+        f"WHEN p > {_sql_double(bx[-1])} THEN {_sql_double(by[-1])} END"
+    )
+    return f"""
+WITH {_SQL_EMB_PROBS},
+breaks(x0, y0, x1, y1) AS (VALUES {vals})
+SELECT vec_id,
+       round({clamp(f'coalesce({edges}, {interp})')}, 6) AS iso_p_r
+FROM probs LEFT JOIN breaks b ON probs.p > b.x0 AND probs.p <= b.x1
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1051,6 +1123,73 @@ def q_attention_fusion(spark, sf_dir):
     )
 
 
+def _sql_attention_head(W, b, alpha: float) -> str:
+    """SQL forward pass of AttentionLogOddsWeights over columns
+    (x1, x2, f1, f2, f3): softmax(W·f + b) attention over 2 signal
+    logits, scaled by n_signals^alpha — the seeded (W, b) are inlined
+    as literals (kernel.combine.AttentionLogOddsWeights.__call__)."""
+    s = [
+        f"({_sql_double(W[i][0])} * f1 + {_sql_double(W[i][1])} * f2 "
+        f"+ {_sql_double(W[i][2])} * f3 + {_sql_double(b[i])})"
+        for i in range(2)
+    ]
+    m = f"greatest({s[0]}, {s[1]})"
+    e1, e2 = f"exp({s[0]} - {m})", f"exp({s[1]} - {m})"
+    w1 = f"(({e1}) / (({e1}) + ({e2})))"
+    w2 = f"(({e2}) / (({e1}) + ({e2})))"
+    scale = _sql_double(2.0 ** float(alpha))
+    return _SIG.format(x=f"{scale} * ({w1} * x1 + {w2} * x2)")
+
+
+def _sql_signal_features() -> str:
+    """Shared CTE: pseudo-signals + query features + signal logits."""
+    return f"""
+sig AS (
+  SELECT doc_id, {_P1} AS p1, {_P2} AS p2,
+         ({_P1}) * 2e0 - 1e0 AS f1, ({_P2}) * 2e0 - 1e0 AS f2, 0.5e0 AS f3
+  FROM documents
+),
+lo AS (
+  SELECT doc_id, f1, f2, f3,
+         {_sql_logit('p1')} AS x1, {_sql_logit('p2')} AS x2
+  FROM sig
+)
+"""
+
+
+def _build_sql_attention_fusion() -> str:
+    from bayesian_bm25_spark.kernel.combine import AttentionLogOddsWeights
+
+    att = AttentionLogOddsWeights(2, 3, seed=0)
+    head = _sql_attention_head(att.W, att.b, att.alpha)
+    return f"""
+WITH {_sql_signal_features()}
+SELECT doc_id, round({head}, 6) AS att_fused_r FROM lo
+"""
+
+
+def _build_sql_multihead_fusion() -> str:
+    from bayesian_bm25_spark.kernel.combine import MultiHeadAttentionLogOddsWeights
+
+    mh = MultiHeadAttentionLogOddsWeights(2, 3, n_heads=3)
+    heads = ",\n       ".join(
+        f"{_sql_attention_head(h.W, h.b, h.alpha)} AS h{i}"
+        for i, h in enumerate(mh.heads)
+    )
+    logits = ", ".join(f"{_sql_logit(f'h{i}')} AS l{i}" for i in range(3))
+    mean = _SIG.format(x="(l0 + l1 + l2) / 3e0")
+    return f"""
+WITH {_sql_signal_features()},
+heads AS (SELECT doc_id, {heads} FROM lo),
+lgt AS (SELECT doc_id, {logits} FROM heads)
+SELECT doc_id, round({mean}, 6) AS mh_fused_r FROM lgt
+"""
+
+
+SQL_ATTENTION_FUSION = _build_sql_attention_fusion()
+SQL_MULTIHEAD_FUSION = _build_sql_multihead_fusion()
+
+
 # ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
@@ -1115,6 +1254,13 @@ ORACLE_SQL: dict[str, str] = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "attention_fusion": SQL_ATTENTION_FUSION,
+}
+
+# Data-dependent oracles (the SQL inlines driver-fit constants computed
+# from the oracle-side data): resolved lazily by __spark_entry__.oracle_sql.
+ORACLE_SQL_BUILDERS: dict[str, Callable[[], str]] = {
+    "isotonic_calibrate": build_sql_isotonic_calibrate,
 }
 
 
@@ -1594,19 +1740,38 @@ SQL_LANGUAGE_ID = _build_sql_language_id()
 
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN (k-means cells, nprobe probing) — rows-only: the
-    centroid training is iterative seeded driver state."""
+    centroid training is iterative seeded driver state.
+
+    Driver state is BOUNDED at any corpus size: centroids train on a
+    deterministic strided sample capped at 4096 rows (similarity.py's
+    bounded-sample contract), and the query pick collects ≤ 64 rows —
+    no full-table toPandas anywhere."""
     import numpy as np
 
     from bayesian_bm25_spark.operators import similarity as SIM
 
     emb = _read(spark, sf_dir, "embeddings")
-    pdf = emb.toPandas()
-    centroids = SIM.train_centroids(np.stack(pdf["embedding"].to_numpy()), n_cells=16, seed=42)
+    n = emb.count()
+    stride = max(1, n // 4096)
+    train = (
+        emb.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(4096)
+        .select("embedding")
+        .toPandas()
+    )
+    centroids = SIM.train_centroids(
+        np.stack(train["embedding"].to_numpy()), n_cells=16, seed=42
+    )
     assigned = SIM.assign_cells(emb, centroids)
-    queries = [
-        (int(r.vec_id), np.array(r.embedding))
-        for r in pdf[pdf.vec_id % 100 == 0].itertuples()
-    ]
+    qrows = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(64)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in qrows]
     out = SIM.ivf_search(assigned, centroids, queries, k=10, nprobe=4)
     return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
 
@@ -1632,21 +1797,87 @@ def q_vector_calibrated_topk(spark, sf_dir):
 
 
 def q_simhash_fingerprints(spark, sf_dir):
-    """64-bit SimHash near-dup fingerprints — rows-only (bit folding)."""
+    """64-bit SimHash near-dup fingerprints (vectorized batch fold).
+
+    Oracle-checkable: the fingerprint is a deterministic function of the
+    shingle md5s — the SQL reproduces the per-bit ±1 votes from
+    md5_number_upper (little-endian of md5 bytes 0-7, remapped to the
+    engine's big-endian bit order)."""
     from bayesian_bm25_spark.operators.dedup import simhash64
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash64(docs)
 
 
+# bit k (0 = MSB of md5 byte 0, the engine's unpackbits order) lives at
+# little-endian bit position 8*(k//8) + 7 - k%8 of md5_number_upper; the
+# fingerprint sets output bit 63-k when the vote is positive, with bit 63
+# (k=0) cleared by the signed-long mask — hence k ranges over 1..63.
+SQL_SIMHASH_FINGERPRINTS = (
+    "WITH "
+    + _sql_shingles()
+    + """,
+hv AS (SELECT doc_id, md5_number_upper(shingle) AS u FROM shingles),
+votes AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN (u >> (8 * (k // 8) + 7 - (k % 8))) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM hv CROSS JOIN (SELECT unnest(generate_series(1, 63)) AS k)
+  GROUP BY doc_id, k
+)
+SELECT doc_id,
+       coalesce(sum(CASE WHEN vote > 0 THEN (1::BIGINT << (63 - k))
+                         ELSE 0 END), 0)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+)
+
+
+_NEAR_DUP_BITS = 4
+_NEAR_DUP_THRESHOLD = 0.35
+
+
 def q_embedding_near_dups(spark, sf_dir):
-    """LSH-bucketed embedding near-dup pairs — rows-only (seeded
-    hyperplanes)."""
+    """LSH-bucketed embedding near-dup pairs.  Bucketing is pure Column
+    double math against seeded hyperplanes, so the oracle inlines the
+    same planes as literals and reproduces the buckets exactly."""
     from bayesian_bm25_spark.operators.dedup import embedding_near_dups
 
     emb = _read(spark, sf_dir, "embeddings")
-    out = embedding_near_dups(emb, threshold=0.35, n_bits=4)
+    out = embedding_near_dups(
+        emb, threshold=_NEAR_DUP_THRESHOLD, n_bits=_NEAR_DUP_BITS
+    )
     return out.select("a", "b", F.round("cos", 6).alias("cos_r"))
+
+
+def _build_sql_embedding_near_dups(dim: int = 64) -> str:
+    from bayesian_bm25_spark.operators.dedup import DEFAULT_BUCKET_CAP
+    from bayesian_bm25_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, n_bits=_NEAR_DUP_BITS, seed=42)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(_sql_double(x) for x in planes[i])}]) > 0e0 "
+        f"THEN {1 << (_NEAR_DUP_BITS - 1 - i)} ELSE 0 END)"
+        for i in range(_NEAR_DUP_BITS)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bucketed AS (
+  SELECT vec_id, e, {bits} AS bucket FROM b
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= {DEFAULT_BUCKET_CAP}
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         list_cosine_similarity(l.e, r.e) AS cos
+  FROM bucketed l JOIN bucketed r
+    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT DISTINCT a, b, round(cos, 6) AS cos_r
+FROM pairs WHERE cos >= {_sql_double(_NEAR_DUP_THRESHOLD)}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUPS = _build_sql_embedding_near_dups()
 
 
 SPARK_QUERIES.update(
@@ -1666,6 +1897,8 @@ ORACLE_SQL.update(
         "quality_scores": SQL_QUALITY_SCORES,
         "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
         "language_id": SQL_LANGUAGE_ID,
+        "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     }
 )
 
@@ -1881,3 +2114,4 @@ def q_multihead_fusion(spark, sf_dir):
 
 
 SPARK_QUERIES["multihead_fusion"] = q_multihead_fusion
+ORACLE_SQL["multihead_fusion"] = SQL_MULTIHEAD_FUSION

@@ -267,6 +267,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def tokenize(text: Column) -> Column:
-    """The tokenizer contract: lower + whitespace split, empties dropped —
-    byte-identical per url to kernel.bm25.tokenize (str.split semantics)."""
+    """The tokenizer contract: lower + whitespace split, empties dropped.
+
+    Byte-identical per url to kernel.bm25.tokenize for ASCII text (the
+    synthetic corpus and fixtures).  The parity claim is ASCII-scoped:
+    JVM ``lower``/Java ``\\s`` and Python ``str.lower``/``str.split``
+    disagree on some Unicode whitespace (NBSP, \\x1c-\\x1f) and locale
+    casing — non-ASCII corpora should normalize upstream (NFC + explicit
+    whitespace class) before relying on cross-engine identity."""
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)

@@ -51,21 +51,35 @@ class PlattCalibrator:
     __call__ = calibrate
 
 
-def pava_fit(scores, labels):
+def pava_fit(scores, labels, weights=None):
     """Pool-adjacent-violators: returns (x, y) breakpoint arrays.
 
     Sorts by score, then repeatedly merges adjacent blocks whose running
     label means violate monotonicity; each surviving block contributes one
     breakpoint at its (mean score, mean label).
+
+    ``weights`` makes each (score, label) stand for ``w`` identical
+    observations — PAVA on pre-aggregated (distinct score, mean label,
+    count) data matches PAVA on the raw rows up to tie-pooling (raw PAVA
+    may keep two non-violating blocks at the same x; aggregation pools
+    them, changing the fitted value only at exact tie points).  The Spark
+    path aggregates by rounded score first, which keeps the driver
+    collect bounded (≤ one row per distinct rounded score — ≤ 10^6 rows
+    for 6-decimal probabilities) at any corpus size.
     """
     s = np.asarray(scores, dtype=np.float64)
     y = np.asarray(labels, dtype=np.float64)
+    w = (
+        np.ones_like(s)
+        if weights is None
+        else np.asarray(weights, dtype=np.float64)
+    )
     order = np.argsort(s)
-    xs, ys = s[order], y[order]
+    xs, ys, ws = s[order], y[order], w[order]
     n = len(xs)
-    sums = ys.copy()
-    counts = np.ones(n, dtype=np.float64)
-    xsums = xs.copy()
+    sums = ys * ws
+    counts = ws.copy()
+    xsums = xs * ws
     active = list(range(n))
     changed = True
     while changed:

@@ -125,9 +125,19 @@ def dcg_at_k(relevances, k):
     return float(np.sum(rel / np.log2(np.arange(2, len(rel) + 2))))
 
 
-def ndcg_at_k(relevances, k):
-    """DCG@k / ideal-DCG@k (ideal = relevances sorted descending)."""
-    ideal = dcg_at_k(sorted(relevances, reverse=True), k)
+def ndcg_at_k(relevances, k, ideal_relevances=None):
+    """DCG@k / ideal-DCG@k.
+
+    Default (``ideal_relevances=None``): ideal = the RETRIEVED list's own
+    relevances sorted descending — the reference's definition
+    (benchmarks/metrics.py:45-51), kept for parity.  Passing the query's
+    full qrels relevances as ``ideal_relevances`` gives the standard
+    qrels-based NDCG — the definition ``operators.ir_metrics.ndcg_at_k``
+    uses (the two coincide whenever the top-k retrieves every relevant
+    doc).
+    """
+    pool = relevances if ideal_relevances is None else ideal_relevances
+    ideal = dcg_at_k(sorted(pool, reverse=True), k)
     if ideal == 0.0:
         return 0.0
     return dcg_at_k(relevances, k) / ideal

@@ -14,15 +14,26 @@ corpus:
 MinHash uses md5-based permutations (min over md5(k|shingle)) so the
 signatures are engine-independent and SQL-checkable; SimHash folds the
 md5 of each shingle into 64 bits.
+
+Skew guards: every bucket self-join in the ladder goes through
+``cap_bucket_size`` — one boilerplate page duplicated 10^8 times (or one
+degenerate LSH bucket) otherwise turns a candidate join O(size²) inside
+a single task.  Dropped buckets are returned as a lazy DataFrame for
+logging/auditing, never silently discarded without a trace.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bayesian_bm25_spark.functions import columns as C
+
+#: default per-bucket population cap for candidate self-joins.  A bucket
+#: at the cap contributes ~cap²/2 candidate pairs in one task — 5000 →
+#: 12.5M pairs ≈ a few hundred MB, the largest single task we accept.
+DEFAULT_BUCKET_CAP = 5000
 
 
 def normalize_text_col(text: F.Column) -> F.Column:
@@ -30,29 +41,58 @@ def normalize_text_col(text: F.Column) -> F.Column:
     return F.concat_ws(" ", C.tokenize(text))
 
 
+def cap_bucket_size(
+    df: DataFrame, keys: list[str], cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Skew guard for bucket self-joins: drop rows in over-populated
+    buckets.  Returns ``(kept, dropped_buckets)`` where dropped_buckets
+    is a lazy (keys..., bucket_size) DataFrame the caller can count/log
+    — truncation is recorded, not silent.
+
+    At 100 TB the sizes table is |distinct buckets| rows (tiny next to
+    the data) and AQE broadcast-joins it back.
+    """
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
+    kept = df.join(sizes.where(F.col("bucket_size") <= cap), keys).drop("bucket_size")
+    dropped = sizes.where(F.col("bucket_size") > cap)
+    return kept, dropped
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """(text_hash, n_docs, doc_ids) for groups with more than one doc.
-    One hash-groupBy; at 10^12 rows this is the cheapest possible pass."""
+    """(doc_id, text_hash, canonical_id, n_docs) for every doc in a
+    duplicate group (>1 member); canonical_id = min doc_id of the group.
+
+    One hash-shuffle, fixed row width: a boilerplate page duplicated
+    10^8× yields 10^8 narrow rows spread across tasks — never one giant
+    array row (the ``collect_list`` anti-pattern).  Keep-set = rows where
+    doc_id == canonical_id; drop-set = the rest.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text_col(F.col(text_col))).alias("text_hash"),
+    )
+    w = Window.partitionBy("text_hash")
     return (
-        docs.select(F.col(id_col), F.md5(normalize_text_col(F.col(text_col))).alias("text_hash"))
-        .groupBy("text_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+        hashed.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
         .where(F.col("n_docs") > 1)
+        .select("doc_id", "text_hash", "canonical_id", "n_docs")
     )
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle): distinct n-token shingles per doc."""
+    """(doc_id, shingle): distinct n-token shingles per doc.  Docs with
+    fewer than ``n`` tokens produce no shingles."""
     tokens = C.tokenize(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
+    sh = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
     )
@@ -89,10 +129,18 @@ def lsh_bands(sig: DataFrame, n_hashes: int = 8, rows_per_band: int = 2) -> Data
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, n_hashes: int = 8,
-                      rows_per_band: int = 2, text_col: str = "text") -> DataFrame:
-    """(a, b) candidate near-dup pairs sharing at least one LSH band."""
+                      rows_per_band: int = 2, text_col: str = "text",
+                      max_bucket_size: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """(a, b) candidate near-dup pairs sharing at least one LSH band.
+
+    Buckets above ``max_bucket_size`` are excluded from the self-join
+    (skew guard); at web scale a degenerate bucket (empty pages, boiler-
+    plate) would otherwise put O(size²) pairs in one task.  Members of a
+    dropped bucket can still pair through their other bands."""
     bands = lsh_bands(minhash_signatures(shingles(docs, n, text_col), n_hashes),
                       n_hashes, rows_per_band)
+    if max_bucket_size is not None:
+        bands, _ = cap_bucket_size(bands, ["band", "bucket"], max_bucket_size)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -127,8 +175,12 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.5) -> D
 def simhash64(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over shingle md5s.
 
-    Each shingle votes its md5's 64 bits ±1; the sign pattern of the
-    per-bit sums is the fingerprint.  Vectorized per Arrow batch."""
+    Each shingle votes its md5's top-64 bits ±1; the sign pattern of the
+    per-bit sums is the fingerprint (top bit cleared so it fits a signed
+    long).  The fold is vectorized ACROSS the whole Arrow batch —
+    unpackbits over (total_shingles, 64), one scatter-add per batch,
+    packbits back — no per-document Python loop.
+    """
     import pandas as pd
 
     sh = shingles(docs, n, text_col)
@@ -139,24 +191,36 @@ def simhash64(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
     def fold(batches):
         for pdf in batches:
-            out = []
-            for doc_id, hs in zip(pdf["doc_id"], pdf["hashes"]):
-                arr = np.frombuffer(b"".join(bytes(h) for h in hs), dtype=np.uint8)
-                bits = np.unpackbits(arr.reshape(-1, 8), axis=1)
-                votes = bits.sum(axis=0) * 2 - len(hs)
-                fp = 0
-                for b in votes > 0:
-                    fp = (fp << 1) | int(b)
-                out.append({"doc_id": int(doc_id), "simhash": np.int64(np.uint64(fp) & np.uint64(0x7FFFFFFFFFFFFFFF)).item()})
-            yield pd.DataFrame(out)
+            if pdf.empty:
+                continue
+            lengths = np.array([len(hs) for hs in pdf["hashes"]], dtype=np.int64)
+            blob = b"".join(bytes(h) for hs in pdf["hashes"] for h in hs)
+            bits = np.unpackbits(
+                np.frombuffer(blob, dtype=np.uint8).reshape(-1, 8), axis=1
+            )
+            doc_idx = np.repeat(np.arange(len(pdf)), lengths)
+            sums = np.zeros((len(pdf), 64), dtype=np.int64)
+            np.add.at(sums, doc_idx, bits)
+            votes = 2 * sums - lengths[:, None]
+            fp_bytes = np.packbits(votes > 0, axis=1)
+            fp = fp_bytes.view(">u8").reshape(-1).astype(np.uint64)
+            fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "simhash": fp}
+            )
 
     return grouped.mapInPandas(fold, schema="doc_id long, simhash long")
 
 
-def simhash_candidates(fp: DataFrame, prefix_bits: int = 16) -> DataFrame:
+def simhash_candidates(fp: DataFrame, prefix_bits: int = 16,
+                       max_bucket_size: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """(a, b) pairs sharing the top ``prefix_bits`` of the SimHash — the
-    blocked candidate generation (rotate the prefix for multi-probe)."""
+    blocked candidate generation (rotate the prefix for multi-probe).
+    Over-populated blocks are excluded (skew guard, see
+    ``cap_bucket_size``)."""
     shifted = fp.withColumn("block", F.shiftright(F.col("simhash"), 63 - prefix_bits))
+    if max_bucket_size is not None:
+        shifted, _ = cap_bucket_size(shifted, ["block"], max_bucket_size)
     left = shifted.alias("l")
     right = shifted.alias("r")
     return (
@@ -169,10 +233,13 @@ def simhash_candidates(fp: DataFrame, prefix_bits: int = 16) -> DataFrame:
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         n_bits: int = 12, seed: int = 42,
-                        emb_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                        emb_col: str = "embedding", id_col: str = "vec_id",
+                        max_bucket_size: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """(a, b, cos) semantic near-dups: LSH-bucket candidates + exact
     cosine verify ≥ threshold.  The bucket join keeps the pair blow-up
-    ~O(N·bucket_size) instead of O(N²)."""
+    ~O(N·bucket_size) instead of O(N²); buckets above ``max_bucket_size``
+    are excluded (skew guard).  Bucketing is pure Column math (double
+    precision, JVM codegen) so it is SQL-oracle-checkable."""
     from bayesian_bm25_spark.operators.similarity import (
         hyperplane_lsh_buckets,
         lsh_candidate_pairs,
@@ -180,7 +247,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
 
     dim = len(embeddings.select(emb_col).first()[0])
     bucketed = hyperplane_lsh_buckets(embeddings, dim, n_bits=n_bits, seed=seed, emb_col=emb_col)
-    pairs = lsh_candidate_pairs(bucketed, id_col=id_col)
+    pairs = lsh_candidate_pairs(bucketed, id_col=id_col, max_bucket_size=max_bucket_size)
     a_emb = embeddings.select(F.col(id_col).alias("a"), F.col(emb_col).alias("emb_a"))
     b_emb = embeddings.select(F.col(id_col).alias("b"), F.col(emb_col).alias("emb_b"))
     return (

@@ -94,18 +94,77 @@ class BM25Index:
     build_metrics: dict = field(default_factory=dict)
 
 
+def assign_doc_ids(
+    pages: DataFrame,
+    order_col: str = "url",
+    start_id: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed url-rank doc_id assignment — NO global window.
+
+    Two-pass zipWithIndex over a range partitioning:
+
+      1. ``repartitionByRange(p, url) + sortWithinPartitions(url)`` puts
+         every partition's rows in global url order across partitions —
+         each partition sorts locally, in parallel.
+      2. one O(p)-row job counts rows per partition; the driver prefix-
+         sums the counts into per-partition offsets (KB of state).
+      3. a ``mapInPandas`` pass adds ``offset[pid] + local ordinal`` —
+         streaming, no shuffle, no single-task funnel.
+
+    The ids are identical to ``row_number() over (ORDER BY url)`` − 1
+    (rank-identity pytest enforces it): the range exchange is given an
+    explicit partition count (AQE never re-coalesces it) and Spark's
+    range sampling is deterministic over a deterministic input relation
+    (a parquet scan), so the count job and the id job see the same
+    boundaries.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = pages.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism * 2
+    if "doc_id" in pages.columns:  # reassigning: discard the old ids
+        pages = pages.drop("doc_id")
+    parted = (
+        pages.repartitionByRange(p, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = (
+        parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    )
+    offsets, acc = {}, int(start_id)
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(r["_pid"])] = acc
+        acc += int(r["_cnt"])
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in parted.schema.fields
+        if f.name != "_pid"
+    ) + ", doc_id long"
+
+    def add_ids(batches):
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"])
+            out["doc_id"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield out
+
+    return parted.mapInPandas(add_ids, schema=out_schema)
+
+
 def tokenize_pages(pages: DataFrame) -> DataFrame:
     """pages → docs(doc_id, url, tokens, doc_len).
 
-    doc_id is taken from the input when present; otherwise assigned as a
-    dense rank over url (a global sort — at true web scale prefer carrying
-    a precomputed id through the ingest pipeline instead)."""
-    if "doc_id" in pages.columns:
-        base = pages
-    else:
-        base = pages.withColumn(
-            "doc_id", F.row_number().over(Window.orderBy("url")).cast("long") - 1
-        )
+    doc_id is taken from the input when present; otherwise assigned as
+    the dense url rank via ``assign_doc_ids`` — a range-partitioned
+    two-pass zipWithIndex, never a global un-partitioned window."""
+    base = pages if "doc_id" in pages.columns else assign_doc_ids(pages)
     return base.select(
         "doc_id",
         "url",
@@ -234,6 +293,10 @@ def _build_index_impl(
             F.first("term_bucket").alias("term_bucket"),
             F.first("df").alias("df"),
             F.max("impact").alias("max_impact"),
+            # sign witness for the pruned query paths: MaxScore/threshold
+            # bounds are only valid for non-negative impacts (robertson
+            # idf goes negative for df > ~N/2) — query.py checks this
+            F.min("impact").alias("min_impact"),
         )
         # MaxScore θ-pass cutoff: the B-th largest impact per term.  The
         # rank-≤-B window compiles to WindowGroupLimit (map-side top-B
@@ -549,9 +612,22 @@ def add_documents(
     plain re-aggregations.  New doc_ids continue after the old range.
     """
     spark = index.spark
-    new_docs = tokenize_pages(new_pages.drop("doc_id") if "doc_id" in new_pages.columns else new_pages)
-    # re-key appended docs after the existing range
-    new_docs = new_docs.withColumn("doc_id", F.col("doc_id") + F.lit(index.n_docs))
+    if "doc_id" in new_pages.columns:
+        # preserve caller-supplied ids (reference append-order semantics);
+        # validate they don't collide with the existing range
+        new_docs = tokenize_pages(new_pages)
+        mn = new_docs.agg(F.min("doc_id")).collect()[0][0]
+        if mn is not None and int(mn) < index.n_docs:
+            raise ValueError(
+                f"appended doc_id {mn} overlaps the existing range "
+                f"[0, {index.n_docs}); supply ids >= n_docs or drop the column"
+            )
+    else:
+        # assign continuing ids starting at n_docs (url rank within the
+        # appended batch, distributed — see assign_doc_ids)
+        new_docs = tokenize_pages(
+            assign_doc_ids(new_pages, start_id=index.n_docs)
+        )
     combined = index.spark.read.parquet(os.path.join(index.path, "docs")).unionByName(new_docs)
     os.makedirs(new_path, exist_ok=True)
     ckpt.write_stage(

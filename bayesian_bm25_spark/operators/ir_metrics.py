@@ -21,7 +21,15 @@ def _with_rel(ranking: DataFrame, qrels: DataFrame) -> DataFrame:
 
 def ndcg_at_k(ranking: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, ndcg): DCG of the ranking's top-k over the ideal DCG of
-    that query's qrels (top-k of relevances sorted descending)."""
+    that query's qrels (top-k of relevances sorted descending).
+
+    This is the STANDARD qrels-based NDCG.  The reference
+    (benchmarks/metrics.py:45-51) normalizes by the retrieved list's own
+    sorted relevances instead — a deliberate deviation; use
+    ``kernel.score_metrics.ndcg_at_k(..., ideal_relevances=qrels_rels)``
+    for the qrels-based value kernel-side, or its default for reference
+    parity.  The two coincide when the top-k retrieves every relevant
+    doc of the query."""
     dcg = (
         _with_rel(ranking.where(F.col("rank") <= k), qrels)
         .groupBy("query_id")

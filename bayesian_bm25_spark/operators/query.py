@@ -187,6 +187,7 @@ def retrieve_maxscore(
     k: int = 10,
     n_buckets: int | None = None,
     num_partitions: int | None = None,
+    impacts_nonnegative: bool | None = None,
 ) -> DataFrame:
     """Rank-exact top-k with MaxScore-style pruning — the scale path.
 
@@ -214,7 +215,26 @@ def retrieve_maxscore(
     is a candidate, and candidate scores are exact (the filter is
     doc-level, not row-level) — so ranks and scores are identical to the
     exhaustive plan; tests enforce it.
+
+    SAFETY: both the θ pass (partial sums as lower bounds) and the
+    essential-term cumulative bound require NON-NEGATIVE impacts.
+    Robertson idf is negative for df > ~N/2 (lucene/atire never are), so
+    when ``impacts_nonnegative`` is False — or is None and the
+    ``term_stats.min_impact`` column (written at build time) shows a
+    negative minimum — the call routes to the exhaustive ``retrieve``
+    plan, which is exact for any sign.
     """
+    if impacts_nonnegative is None:
+        if "min_impact" in term_stats.columns:
+            row = term_stats.agg(F.min("min_impact")).collect()[0]
+            impacts_nonnegative = row[0] is None or float(row[0]) >= 0.0
+        else:
+            # legacy index without the stat: assume the default (lucene)
+            # method; robertson users must pass the flag explicitly
+            impacts_nonnegative = True
+    if not impacts_nonnegative:
+        return retrieve(postings, queries, params, avgdl, k=k, n_buckets=n_buckets)
+
     spark = postings.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism * 2
     qt = query_terms(queries)
@@ -321,6 +341,7 @@ def retrieve_threshold(
     avgdl: float,
     threshold: float,
     n_buckets: int | None = None,
+    impacts_nonnegative: bool | None = None,
 ) -> DataFrame:
     """Threshold query with safe WAND-style pruning.
 
@@ -330,7 +351,26 @@ def retrieve_threshold(
     rest, and filter on the exact probability.  This is data-level
     pruning — precomputed bound tables + filters — the idiomatic Spark
     translation of index skipping (no custom Catalyst rule needed).
+
+    SAFETY: Σ qtf·max_impact is an upper bound only when impacts are
+    non-negative (robertson idf can be negative for df > ~N/2) — same
+    guard as ``retrieve_maxscore``: negative-impact indexes skip the
+    query-level gate and score every live query exactly.
     """
+    if impacts_nonnegative is None:
+        if "min_impact" in term_stats.columns:
+            row = term_stats.agg(F.min("min_impact")).collect()[0]
+            impacts_nonnegative = row[0] is None or float(row[0]) >= 0.0
+        else:
+            impacts_nonnegative = True
+    if not impacts_nonnegative:
+        scored = with_probability(
+            score_queries(postings, queries, n_buckets=n_buckets), params, avgdl
+        )
+        return scored.where(F.col("probability") >= threshold).select(
+            "query_id", "doc_id", "score", "probability"
+        )
+
     qt = query_terms(queries)
     qb = (
         qt.join(term_stats.select("term", "max_impact"), "term", "left")

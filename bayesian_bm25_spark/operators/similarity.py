@@ -153,6 +153,13 @@ def ivf_search(
     )
 
 
+def hyperplane_planes(dim: int, n_bits: int = 16, seed: int = 42) -> np.ndarray:
+    """Seeded random hyperplanes (n_bits, dim) — shared by the Spark
+    bucketing and any external oracle that inlines them as literals."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 1, size=(n_bits, dim))
+
+
 def hyperplane_lsh_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -162,18 +169,37 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """+lsh_bucket: sign pattern against ``n_bits`` seeded random
     hyperplanes — the fully-distributed ANN bucketing path (no trained
-    state at all; candidates = same-bucket rows)."""
-    from bayesian_bm25_spark.functions.pudfs import lsh_bucket_udf
+    state at all; candidates = same-bucket rows).
 
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(0, 1, size=(n_bits, dim)).astype(np.float32)
-    return embeddings.withColumn("lsh_bucket", lsh_bucket_udf(planes)(F.col(emb_col)))
+    Pure Column math (double precision): each bit is the sign of one
+    array dot product, folded plane-0-is-MSB — whole-stage codegen, no
+    Python in the path, and bit-reproducible by any double-math engine
+    (``functions.pudfs.lsh_bucket_udf`` is the float32 Arrow-batch
+    variant kept for parity/perf comparison)."""
+    planes = hyperplane_planes(dim, n_bits, seed)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(C.dot(F.col(emb_col), plane) > 0.0, F.lit(1)).otherwise(F.lit(0))
+        bucket = F.shiftleft(bucket, 1) + bit.cast("long")
+    return embeddings.withColumn("lsh_bucket", bucket)
 
 
-def lsh_candidate_pairs(bucketed: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Same-bucket candidate pairs (a < b) for near-dup screening."""
-    left = bucketed.select(F.col(id_col).alias("a"), F.col("lsh_bucket"))
-    right = bucketed.select(F.col(id_col).alias("b"), F.col("lsh_bucket"))
+def lsh_candidate_pairs(
+    bucketed: DataFrame, id_col: str = "vec_id", max_bucket_size: int | None = None
+) -> DataFrame:
+    """Same-bucket candidate pairs (a < b) for near-dup screening.
+    ``max_bucket_size`` excludes over-populated buckets (skew guard —
+    see operators.dedup.cap_bucket_size)."""
+    src = bucketed
+    if max_bucket_size is not None:
+        from bayesian_bm25_spark.operators.dedup import cap_bucket_size
+
+        src, _ = cap_bucket_size(
+            bucketed.select(F.col(id_col), "lsh_bucket"), ["lsh_bucket"], max_bucket_size
+        )
+    left = src.select(F.col(id_col).alias("a"), F.col("lsh_bucket"))
+    right = src.select(F.col(id_col).alias("b"), F.col("lsh_bucket"))
     return (
         left.join(right, "lsh_bucket")
         .where(F.col("a") < F.col("b"))

@@ -331,3 +331,96 @@ class TestMaxScore:
         e = {key(r): (r["doc_id"], round(r["score"], 9)) for r in exhaustive}
         p = {key(r): (r["doc_id"], round(r["score"], 9)) for r in pruned}
         assert e == p
+
+
+class TestAssignDocIds:
+    """Rank-identity of the distributed (no-global-window) id assignment."""
+
+    def test_identical_to_global_window_rank(self, spark):
+        from pyspark.sql import Window
+
+        from bayesian_bm25_spark.operators.index_build import assign_doc_ids
+
+        pages = generate_pages(spark, 500, seed=3, num_partitions=8).drop("doc_id")
+        got = {
+            r["url"]: r["doc_id"]
+            for r in assign_doc_ids(pages).select("url", "doc_id").collect()
+        }
+        want = {
+            r["url"]: r["doc_id"]
+            for r in pages.withColumn(
+                "doc_id", F.row_number().over(Window.orderBy("url")).cast("long") - 1
+            ).select("url", "doc_id").collect()
+        }
+        assert got == want
+
+    def test_start_id_offsets_the_range(self, spark):
+        from bayesian_bm25_spark.operators.index_build import assign_doc_ids
+
+        pages = generate_pages(spark, 50, seed=5, num_partitions=4)
+        ids = sorted(
+            r["doc_id"] for r in assign_doc_ids(pages, start_id=1000).collect()
+        )
+        assert ids == list(range(1000, 1050))
+
+    def test_no_unpartitioned_window_in_build_plan(self, spark):
+        from bayesian_bm25_spark.operators.index_build import tokenize_pages
+
+        pages = generate_pages(spark, 100, seed=1, num_partitions=4).drop("doc_id")
+        plan = tokenize_pages(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+
+class TestRobertsonPrunedPaths:
+    """Robertson idf is negative for df > ~N/2, which invalidates the
+    MaxScore/threshold bound math — the pruned paths must detect it (via
+    term_stats.min_impact) and stay exact by routing to the exhaustive
+    plan (ADVICE r01)."""
+
+    @pytest.fixture(scope="class")
+    def rob_index(self, spark, tmp_path_factory):
+        # "common" appears in 8/10 docs → df > N/2 → negative robertson idf
+        texts = [
+            f"common filler{i % 3} rare{i} tail{i * 7 % 5}" if i < 8 else f"rare{i} only special{i}"
+            for i in range(10)
+        ]
+        pages = spark.createDataFrame(
+            [(i, f"https://x.test/{i}", t, "en") for i, t in enumerate(texts)],
+            "doc_id long, url string, text string, lang string",
+        )
+        path = str(tmp_path_factory.mktemp("idx_rob"))
+        return build_index(
+            spark, pages, path,
+            IndexConfig(method="robertson", base_rate=0.05, alpha=1.0, beta=1.0,
+                        build_compressed=False),
+        )
+
+    def test_min_impact_is_negative(self, rob_index):
+        mn = rob_index.term_stats.agg(F.min("min_impact")).collect()[0][0]
+        assert mn < 0.0
+
+    def test_maxscore_exact_despite_negative_impacts(self, rob_index):
+        idx = rob_index
+        queries = [["common", "rare3"], ["common"], ["rare9", "common", "filler1"]]
+        qdf = queries_to_df(idx.spark, queries)
+        exhaustive = Q.retrieve(idx.postings, qdf, idx.params, idx.avgdl, k=5).collect()
+        pruned = Q.retrieve_maxscore(
+            idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl, k=5
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        e = {key(r): (r["doc_id"], round(r["score"], 9)) for r in exhaustive}
+        p = {key(r): (r["doc_id"], round(r["score"], 9)) for r in pruned}
+        assert e == p
+
+    def test_threshold_complete_despite_negative_impacts(self, rob_index):
+        idx = rob_index
+        qdf = queries_to_df(idx.spark, [["common", "rare3"], ["common"]])
+        thr = 0.05
+        got = Q.retrieve_threshold(
+            idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl, threshold=thr
+        ).collect()
+        full = Q.with_probability(
+            Q.score_queries(idx.postings, qdf), idx.params, idx.avgdl
+        ).collect()
+        expect = {(r["query_id"], r["doc_id"]) for r in full if r["probability"] >= thr}
+        assert {(r["query_id"], r["doc_id"]) for r in got} == expect

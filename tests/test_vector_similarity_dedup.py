@@ -201,9 +201,23 @@ class TestDedup:
         return spark.createDataFrame(rows, "doc_id long, text string")
 
     def test_exact_duplicates(self, docs):
-        groups = {tuple(r["doc_ids"]): r["n_docs"] for r in DD.exact_duplicates(docs).collect()}
-        assert ((0, 1) in groups) and ((3, 4) in groups)
-        assert len(groups) == 2
+        # canonical form: one fixed-width row per duplicate member (no
+        # collect_list — a 10^8-way dup group stays many narrow rows)
+        rows = DD.exact_duplicates(docs).collect()
+        by_canon = {}
+        for r in rows:
+            by_canon.setdefault(r["canonical_id"], set()).add(r["doc_id"])
+            assert r["n_docs"] == 2
+        assert by_canon == {0: {0, 1}, 3: {3, 4}}
+
+    def test_bucket_cap_drops_hot_bucket(self, spark):
+        # one viral bucket (>cap) must be excluded, with the drop recorded
+        rows = [(i, "hot") for i in range(10)] + [(100, "cold"), (101, "cold")]
+        df = spark.createDataFrame(rows, "doc_id long, bucket string")
+        kept, dropped = DD.cap_bucket_size(df, ["bucket"], cap=5)
+        assert {r["bucket"] for r in kept.collect()} == {"cold"}
+        d = dropped.collect()
+        assert len(d) == 1 and d[0]["bucket"] == "hot" and d[0]["bucket_size"] == 10
 
     def test_minhash_lsh_finds_near_dups(self, docs):
         pairs = {(r["a"], r["b"]) for r in DD.minhash_lsh_pairs(docs).collect()}

@@ -38,6 +38,11 @@ def main() -> None:
 
     from bayesian_bm25_spark.entry_queries import ORACLE_SQL, SPARK_QUERIES
 
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+    import __spark_entry__
+
+    ORACLE_SQL = __spark_entry__.oracle_sql()
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
