@@ -139,13 +139,22 @@ class BayesianBM25Scorer:
         if self._index is None:
             raise RuntimeError("Call index() first.")
 
+    def _maybe_stem(self, qdf: DataFrame) -> DataFrame:
+        """Stem query terms when the index was built with a stemmer —
+        index and query tokenization must always agree."""
+        if self._index.config.stemmer is not None:
+            from bayesian_bm25_spark.functions.stemmer import stem_terms
+
+            return stem_terms(qdf)
+        return qdf
+
     # -- query ------------------------------------------------------------
 
     def retrieve(self, query_tokens: list[list[str]], k: int = 10):
         """(doc_ids, probabilities) arrays of shape (n_queries, k);
         missing ranks hold (-1, 0.0), mirroring no-match behavior."""
         self._require()
-        qdf = queries_to_df(self.spark, query_tokens)
+        qdf = self._maybe_stem(queries_to_df(self.spark, query_tokens))
         res = Q.retrieve(
             self._index.postings, qdf, self._index.params, self._index.avgdl,
             k=k, n_buckets=self._index.config.n_buckets,
@@ -156,7 +165,8 @@ class BayesianBM25Scorer:
         """DataFrame-native retrieval (the path to use at scale)."""
         self._require()
         return Q.retrieve(
-            self._index.postings, queries, self._index.params, self._index.avgdl,
+            self._index.postings, self._maybe_stem(queries),
+            self._index.params, self._index.avgdl,
             k=k, n_buckets=self._index.config.n_buckets,
         )
 
@@ -165,7 +175,7 @@ class BayesianBM25Scorer:
         scorer.py:564-590); for sparse output at scale use
         ``get_probabilities_df``."""
         self._require()
-        qdf = queries_to_df(self.spark, [query_tokens])
+        qdf = self._maybe_stem(queries_to_df(self.spark, [query_tokens]))
         dense = Q.get_probabilities(
             self._index.postings, qdf, self._index.params, self._index.avgdl,
             all_docs=self._index.doc_stats, n_buckets=self._index.config.n_buckets,
@@ -178,7 +188,8 @@ class BayesianBM25Scorer:
     def get_probabilities_df(self, queries: DataFrame) -> DataFrame:
         self._require()
         return Q.get_probabilities(
-            self._index.postings, queries, self._index.params, self._index.avgdl,
+            self._index.postings, self._maybe_stem(queries),
+            self._index.params, self._index.avgdl,
             n_buckets=self._index.config.n_buckets,
         )
 
@@ -220,6 +231,27 @@ class MultiFieldScorer:
             weights=self.field_weights, config=self._config, alpha=self.alpha,
             force=True,
         )
+
+    def add_documents(self, docs, show_progress: bool = False) -> None:
+        """Append documents (reference multi_field.py:202-236): list of
+        per-field token dicts (ids continue after the existing range) or
+        a DataFrame carrying explicit doc_id."""
+        if self._index is None:
+            raise RuntimeError("Call index() before add_documents().")
+        n_docs = max(fi.n_docs for fi in self._index.per_field.values())
+        if isinstance(docs, DataFrame):
+            df = docs
+        else:
+            rows = [
+                tuple([n_docs + i] + [" ".join(d[f]) for f in self.fields])
+                for i, d in enumerate(docs)
+            ]
+            schema = "doc_id long, " + ", ".join(f"{f} string" for f in self.fields)
+            df = self.spark.createDataFrame(rows, schema)
+        self._index = MFO.add_documents_multi_field(
+            self._index, df, self._path + "_v2"
+        )
+        self._path = self._index.path
 
     def retrieve(self, query_tokens: list[list[str]], k: int = 10):
         if self._index is None:

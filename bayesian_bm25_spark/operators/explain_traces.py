@@ -173,6 +173,12 @@ def compare_documents(
     a, b = rows[doc_a], rows[doc_b]
     ta = a["trace"].asDict() if a["trace"] else None
     tb = b["trace"].asDict() if b["trace"] else None
+    prob_a = float(a["probability"]) if "probability" in a.__fields__ else (
+        float(ta["posterior"]) if ta else 0.0
+    )
+    prob_b = float(b["probability"]) if "probability" in b.__fields__ else (
+        float(tb["posterior"]) if tb else 0.0
+    )
     deltas = {}
     if ta and tb:
         for k in ("likelihood", "composite_prior", "posterior"):
@@ -180,9 +186,77 @@ def compare_documents(
         dominant = max(deltas, key=lambda k: abs(deltas[k]))
     else:
         dominant = "missing_signal"
+    # crossover: a non-dominant signal that favors the opposite document
+    # (reference debug.py:616-629)
+    fused_delta = prob_a - prob_b
+    crossover = None
+    for name, delta in deltas.items():
+        if name == dominant:
+            continue
+        if fused_delta != 0.0 and delta != 0.0 and (fused_delta > 0) != (delta > 0):
+            crossover = name
+            break
     return {
         "doc_a": doc_a,
         "doc_b": doc_b,
+        "prob_a": prob_a,
+        "prob_b": prob_b,
+        "signal_values": {
+            k: (float(ta[k]) if ta else 0.5, float(tb[k]) if tb else 0.5)
+            for k in deltas
+        },
         "signal_deltas": deltas,
         "dominant_signal": dominant,
+        "crossover_stage": crossover,
     }
+
+
+def format_summary(
+    doc_id, signals: dict[str, float], fused: float,
+    method: str = "log_odds", alpha: float | None = None,
+) -> str:
+    """Compact one-line summary — reference debug.py:753-771 layout:
+    ``<doc>: BM25=0.812 Vec=0.633 -> Fused=0.742 (log_odds, alpha=0.5)``."""
+    parts = " ".join(f"{name}={p:.3f}" for name, p in signals.items())
+    alpha_str = f", alpha={alpha}" if alpha is not None else ""
+    return f"{doc_id}: {parts} -> Fused={fused:.3f} ({method}{alpha_str})"
+
+
+def format_comparison(comparison: dict) -> str:
+    """Human-readable two-document comparison — reference
+    debug.py:773-841 layout (signal table, rank order, dominant signal,
+    crossover note) over a ``compare_documents`` result."""
+    a_label, b_label = comparison["doc_a"], comparison["doc_b"]
+    lines = [f"Comparison: {a_label} vs {b_label}"]
+    lines.append(
+        f"  {'Signal':<16} {str(a_label):>8}  {str(b_label):>8}  {'delta':>8}   dominant"
+    )
+    for name, delta in comparison["signal_deltas"].items():
+        va, vb = comparison["signal_values"][name]
+        marker = "   <-- largest" if name == comparison["dominant_signal"] else ""
+        lines.append(f"  {name:<16} {va:>8.3f}  {vb:>8.3f}  {delta:>+8.3f}{marker}")
+    fused_delta = comparison["prob_a"] - comparison["prob_b"]
+    lines.append(
+        f"  {'Fused':<16} {comparison['prob_a']:>8.3f}  {comparison['prob_b']:>8.3f}"
+        f"  {fused_delta:>+8.3f}"
+    )
+    lines.append("")
+    if fused_delta > 0:
+        lines.append(f"  Rank order: {a_label} > {b_label} (by {fused_delta:+.3f})")
+    elif fused_delta < 0:
+        lines.append(f"  Rank order: {b_label} > {a_label} (by +{abs(fused_delta):.3f})")
+    else:
+        lines.append("  Rank order: tied")
+    dom = comparison["dominant_signal"]
+    if dom in comparison["signal_deltas"]:
+        dom_delta = comparison["signal_deltas"][dom]
+        favored = a_label if dom_delta >= 0 else b_label
+        lines.append(f"  Dominant signal: {dom} ({dom_delta:+.3f} in {favored}'s favor)")
+    if comparison.get("crossover_stage"):
+        cross = comparison["crossover_stage"]
+        cross_delta = comparison["signal_deltas"][cross]
+        cross_favored = a_label if cross_delta >= 0 else b_label
+        lines.append(
+            f"  Note: {cross} favored {cross_favored}, but {dom} signal outweighed it"
+        )
+    return "\n".join(lines)

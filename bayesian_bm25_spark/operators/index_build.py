@@ -56,6 +56,7 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     method: str = "lucene"  # robertson | lucene | atire
+    stemmer: str | None = None  # None | "porter" (apply to index AND queries)
     alpha: float | None = None
     beta: float | None = None
     base_rate: float | str | None = None  # None | "auto" | float
@@ -158,17 +159,29 @@ def assign_doc_ids(
     return parted.mapInPandas(add_ids, schema=out_schema)
 
 
-def tokenize_pages(pages: DataFrame) -> DataFrame:
+def tokenize_pages(pages: DataFrame, stemmer: str | None = None) -> DataFrame:
     """pages → docs(doc_id, url, tokens, doc_len).
 
     doc_id is taken from the input when present; otherwise assigned as
     the dense url rank via ``assign_doc_ids`` — a range-partitioned
-    two-pass zipWithIndex, never a global un-partitioned window."""
+    two-pass zipWithIndex, never a global un-partitioned window.
+
+    ``stemmer="porter"`` (off by default) applies the pure-Python Porter
+    stemmer per token via an Arrow UDF — queries must then be stemmed
+    with the same flag (reference hybrid_beir.py:288-296 stems both
+    sides for its published BEIR numbers)."""
     base = pages if "doc_id" in pages.columns else assign_doc_ids(pages)
+    tokens = C.tokenize(F.col("text"))
+    if stemmer == "porter":
+        from bayesian_bm25_spark.functions.stemmer import stem_tokens_udf
+
+        tokens = stem_tokens_udf()(tokens)
+    elif stemmer is not None:
+        raise ValueError(f"unknown stemmer {stemmer!r} (supported: 'porter')")
     return base.select(
         "doc_id",
         "url",
-        C.tokenize(F.col("text")).alias("tokens"),
+        tokens.alias("tokens"),
     ).withColumn("doc_len", F.size("tokens").cast("long"))
 
 
@@ -257,7 +270,7 @@ def _build_index_impl(
     docs = ckpt.run_stage(
         spark,
         docs_dir,
-        lambda: tokenize_pages(pages),
+        lambda: tokenize_pages(pages, stemmer=cfg.stemmer),
         stage="docs",
         force=force,
     )
@@ -310,15 +323,6 @@ def _build_index_impl(
         )
         return base.join(cutoff, "term", "left")
 
-    term_stats = ckpt.run_stage(
-        spark,
-        term_stats_dir,
-        build_term_stats,
-        stage="term_stats",
-        inputs=[postings_dir],
-        force=force,
-    )
-
     block_max_dir = os.path.join(path, "block_max")
 
     def build_block_max() -> DataFrame:
@@ -333,24 +337,40 @@ def _build_index_impl(
             .agg(F.max("impact").alias("block_max_impact"))
         )
 
-    block_max = ckpt.run_stage(
-        spark,
-        block_max_dir,
-        build_block_max,
-        stage="block_max",
-        inputs=[postings_dir],
-        force=force,
-    )
+    # everything past the postings checkpoint is INDEPENDENT (term_stats,
+    # block_max, the compressed-list chain, and param estimation all read
+    # only the postings/docs checkpoints) — submit them as concurrent
+    # Spark jobs from driver threads.  Per-stage fixed costs (job
+    # scheduling, AQE planning, parquet commit, driver math) overlap
+    # instead of serializing, which is where the N→4N scaling efficiency
+    # was going at small-to-mid corpus sizes; outputs land in separate
+    # checkpoint dirs, so resumability is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_term_stats = pool.submit(
+            ckpt.run_stage, spark, term_stats_dir, build_term_stats,
+            stage="term_stats", inputs=[postings_dir], force=force,
+        )
+        f_block_max = pool.submit(
+            ckpt.run_stage, spark, block_max_dir, build_block_max,
+            stage="block_max", inputs=[postings_dir], force=force,
+        )
+        f_compressed = (
+            pool.submit(_build_compressed_lists, spark, postings, path, cfg, force)
+            if cfg.build_compressed
+            else None
+        )
+        f_params = pool.submit(_estimate_params, spark, docs, postings, cfg, n_docs)
+        term_stats = f_term_stats.result()
+        block_max = f_block_max.result()
+        posting_lists = f_compressed.result() if f_compressed else None
+        params = f_params.result()
 
     # doc_stats is a pure projection of the docs checkpoint — derived
     # lazily, no extra stage write
     doc_stats = docs.select("doc_id", "url", "doc_len")
 
-    posting_lists = None
-    if cfg.build_compressed:
-        posting_lists = _build_compressed_lists(spark, postings, path, cfg, force)
-
-    params = _estimate_params(spark, docs, postings, cfg, n_docs)
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump({"params": params.to_dict(), "config": cfg.to_dict()}, f, indent=2)
 
@@ -615,7 +635,7 @@ def add_documents(
     if "doc_id" in new_pages.columns:
         # preserve caller-supplied ids (reference append-order semantics);
         # validate they don't collide with the existing range
-        new_docs = tokenize_pages(new_pages)
+        new_docs = tokenize_pages(new_pages, stemmer=index.config.stemmer)
         mn = new_docs.agg(F.min("doc_id")).collect()[0][0]
         if mn is not None and int(mn) < index.n_docs:
             raise ValueError(
@@ -626,7 +646,8 @@ def add_documents(
         # assign continuing ids starting at n_docs (url rank within the
         # appended batch, distributed — see assign_doc_ids)
         new_docs = tokenize_pages(
-            assign_doc_ids(new_pages, start_id=index.n_docs)
+            assign_doc_ids(new_pages, start_id=index.n_docs),
+            stemmer=index.config.stemmer,
         )
     combined = index.spark.read.parquet(os.path.join(index.path, "docs")).unionByName(new_docs)
     os.makedirs(new_path, exist_ok=True)

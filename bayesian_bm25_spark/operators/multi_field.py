@@ -72,6 +72,36 @@ def validate_weights(fields: list[str], weights: dict[str, float] | None) -> dic
     return dict(weights)
 
 
+def _index_field(
+    spark: SparkSession,
+    fdocs: DataFrame,
+    fdir: str,
+    cfg: IndexConfig,
+    field: str,
+    force: bool = False,
+) -> FieldIndex:
+    """Checkpoint one field's docs, build its postings, estimate params —
+    the unit shared by the initial build and incremental append."""
+    from bayesian_bm25_spark.operators.index_build import _estimate_params
+
+    fdocs_ck = ckpt.run_stage(
+        spark, os.path.join(fdir, "docs"), lambda fd=fdocs: fd,
+        stage=f"docs[{field}]", force=force,
+    )
+    row = fdocs_ck.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["a"])
+    postings = ckpt.run_stage(
+        spark,
+        os.path.join(fdir, "postings"),
+        lambda fd=fdocs_ck, n=n_docs, a=avgdl: compute_postings(fd, n, a, cfg),
+        stage=f"postings[{field}]",
+        partition_by=["term_bucket"],
+        force=force,
+    )
+    params = _estimate_params(spark, fdocs_ck, postings, cfg, n_docs)
+    return FieldIndex(field, postings, params, avgdl, n_docs)
+
+
 def build_multi_field_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -97,26 +127,12 @@ def build_multi_field_index(
     for field in fields:
         if field not in docs.columns:
             raise ValueError(f"field {field!r} missing from docs columns {docs.columns}")
-        fdir = os.path.join(path, f"field={field}")
         fdocs = docs.select(
             "doc_id", C.tokenize(F.col(field)).alias("tokens")
         ).withColumn("doc_len", F.size("tokens").cast("long"))
-        fdocs_ck = ckpt.run_stage(
-            spark, os.path.join(fdir, "docs"), lambda fd=fdocs: fd,
-            stage=f"docs[{field}]", force=force,
+        per_field[field] = _index_field(
+            spark, fdocs, os.path.join(path, f"field={field}"), cfg, field, force
         )
-        row = fdocs_ck.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")).collect()[0]
-        n_docs, avgdl = int(row["n"]), float(row["a"])
-        postings = ckpt.run_stage(
-            spark,
-            os.path.join(fdir, "postings"),
-            lambda fd=fdocs_ck, n=n_docs, a=avgdl: compute_postings(fd, n, a, cfg),
-            stage=f"postings[{field}]",
-            partition_by=["term_bucket"],
-            force=force,
-        )
-        params = _estimate_params(spark, fdocs_ck, postings, cfg, n_docs)
-        per_field[field] = FieldIndex(field, postings, params, avgdl, n_docs)
 
     meta = {
         "fields": fields,
@@ -178,4 +194,68 @@ def retrieve_multi_field(idx: MultiFieldIndex, queries: DataFrame, k: int = 10) 
         probs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "probability")
+    )
+
+
+def add_documents_multi_field(
+    idx: MultiFieldIndex, new_docs: DataFrame, new_path: str
+) -> MultiFieldIndex:
+    """Incremental append, multi-field (reference multi_field.py:202-236):
+    every field's index is rebuilt over `old docs ∪ new docs` with fresh
+    statistics and per-field α/β/base-rate re-estimation — IDF and avgdl
+    change with any append, exactly like the single-index
+    ``index_build.add_documents``.  The OLD per-field tokenization is
+    read back from its parquet checkpoint, never recomputed; only the new
+    docs are tokenized.
+
+    ``new_docs`` must carry ``doc_id`` (≥ the existing n_docs — append
+    order is the caller's id order, mirroring the reference's list
+    append) plus one text column per field.
+    """
+    spark = idx.spark
+    if "doc_id" not in new_docs.columns:
+        raise ValueError("multi-field append requires an explicit doc_id column")
+    n_docs = max(fi.n_docs for fi in idx.per_field.values())
+    mn = new_docs.agg(F.min("doc_id")).collect()[0][0]
+    if mn is not None and int(mn) < n_docs:
+        raise ValueError(
+            f"appended doc_id {mn} overlaps the existing range [0, {n_docs})"
+        )
+    os.makedirs(new_path, exist_ok=True)
+    per_field: dict[str, FieldIndex] = {}
+    for field in idx.fields:
+        if field not in new_docs.columns:
+            raise ValueError(f"field {field!r} missing from new_docs columns")
+        old_fdocs = spark.read.parquet(
+            os.path.join(idx.path, f"field={field}", "docs")
+        )
+        add_fdocs = new_docs.select(
+            "doc_id", C.tokenize(F.col(field)).alias("tokens")
+        ).withColumn("doc_len", F.size("tokens").cast("long"))
+        combined = old_fdocs.unionByName(add_fdocs)
+        per_field[field] = _index_field(
+            spark, combined, os.path.join(new_path, f"field={field}"),
+            idx.config, field,
+        )
+
+    meta = {
+        "fields": idx.fields,
+        "weights": idx.weights,
+        "alpha": idx.alpha,
+        "config": idx.config.to_dict(),
+        "per_field": {
+            f: {"params": fi.params.to_dict(), "avgdl": fi.avgdl, "n_docs": fi.n_docs}
+            for f, fi in per_field.items()
+        },
+    }
+    with open(os.path.join(new_path, "multi_field.json"), "w") as fp:
+        json.dump(meta, fp, indent=2)
+    return MultiFieldIndex(
+        spark=spark,
+        path=new_path,
+        fields=idx.fields,
+        weights=idx.weights,
+        config=idx.config,
+        per_field=per_field,
+        alpha=idx.alpha,
     )

@@ -114,6 +114,9 @@ def main() -> None:
         res = Q.retrieve_maxscore(
             idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl,
             k=10, n_buckets=idx.config.n_buckets,
+            # lucene impacts are provably non-negative — skip the
+            # min_impact witness scan (robertson would route exhaustive)
+            impacts_nonnegative=(idx.config.method != "robertson"),
         )
         n_rows = res.count()
         query_sec = time.time() - t0
