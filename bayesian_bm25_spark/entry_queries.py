@@ -641,9 +641,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-SQL_MINHASH_LSH_PAIRS = (
-    "WITH "
-    + _sql_shingles()
+_SQL_MINHASH_PAIR_CTES = (
+    _sql_shingles()
     + ", sig AS (SELECT doc_id, "
     + ", ".join(f"min(md5('{k}|' || shingle)) AS mh{k}" for k in range(_N_MINHASH))
     + " FROM shingles GROUP BY doc_id), bands AS ("
@@ -651,9 +650,40 @@ SQL_MINHASH_LSH_PAIRS = (
         f"SELECT doc_id, {band} AS band, md5(mh{2 * band} || '|' || mh{2 * band + 1}) AS bucket FROM sig"
         for band in range(_N_MINHASH // 2)
     )
-    + ") SELECT DISTINCT l.doc_id::BIGINT AS a, r.doc_id::BIGINT AS b "
+    + "), lshpairs AS (SELECT DISTINCT l.doc_id::BIGINT AS a, r.doc_id::BIGINT AS b "
     "FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket "
-    "WHERE l.doc_id < r.doc_id"
+    "WHERE l.doc_id < r.doc_id)"
+)
+
+SQL_MINHASH_LSH_PAIRS = "WITH " + _SQL_MINHASH_PAIR_CTES + " SELECT a, b FROM lshpairs"
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-GROUP resolution: LSH candidate pairs → connected
+    components via distributed min-label propagation; component = the
+    canonical (min) doc_id of each dup cluster.  The oracle computes the
+    same transitive closure with a recursive CTE."""
+    from bayesian_bm25_spark.operators.dedup import connected_components
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs).select("node", "component")
+
+
+SQL_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE "
+    + _SQL_MINHASH_PAIR_CTES
+    + """,
+edges AS (SELECT a AS src, b AS dst FROM lshpairs
+          UNION SELECT b AS src, a AS dst FROM lshpairs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node::BIGINT AS node, min(label)::BIGINT AS component
+FROM reach GROUP BY node
+"""
 )
 
 
@@ -1209,6 +1239,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "platt_apply": q_platt_apply,
     "cosine_topk": q_cosine_topk,
     "dedup_exact": q_dedup_exact,
+    "dedup_components": q_dedup_components,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1242,6 +1273,7 @@ ORACLE_SQL: dict[str, str] = {
     "platt_apply": SQL_PLATT_APPLY,
     "cosine_topk": SQL_COSINE_TOPK,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

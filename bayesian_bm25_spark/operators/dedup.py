@@ -257,3 +257,59 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) — resolve candidate/duplicate PAIRS into GROUPS:
+    component = min doc_id reachable in the pair graph (the canonical
+    representative), so keep-set = rows where node == component.
+
+    Distributed min-label propagation: each round every node takes the
+    min label over itself and its neighbors — one join + one aggregation
+    per round, converging in O(graph diameter) rounds (dup clusters are
+    near-cliques from bucket joins, so diameter is 2-3 in practice; the
+    loop early-stops on a converged round and ``localCheckpoint`` cuts
+    the lineage so plans don't grow with iterations).  At web scale the
+    work is proportional to the EDGE table (candidate pairs), which the
+    bucket caps already bound — never to the corpus.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = edges.union(
+        pairs.select(F.col(b_col).cast("long").alias("src"), F.col(a_col).cast("long").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -86,3 +86,58 @@ def windowed_query_stats(
         )
         .select("win.start", "win.end", "n", "label_rate", "mean_score")
     )
+
+
+def start_streaming_ingest(
+    pages_stream: DataFrame,
+    index_base: str,
+    config=None,
+    checkpoint_dir: str | None = None,
+    on_batch=None,
+):
+    """Streaming corpus ingest: each micro-batch of pages is appended to
+    the index with full-statistics rebuild semantics (the reference's
+    ``add_documents`` contract — IDF/avgdl re-estimated every append).
+
+    The index lives as versioned checkpoint directories
+    ``{index_base}_v{n}``; batch n's rebuild reuses every earlier batch's
+    tokenization from the docs checkpoint (never re-tokenizes).  Returns
+    (StreamingQuery, state) where ``state['index']`` always points at
+    the latest committed BM25Index — queries between batches read a
+    consistent snapshot.
+
+    This is bounded-state streaming: the driver holds only the index
+    HANDLE (paths + params, O(KB)); all data state is parquet.
+    """
+    from bayesian_bm25_spark.operators.index_build import (
+        IndexConfig,
+        add_documents,
+        build_index,
+    )
+
+    cfg = config or IndexConfig()
+    state: dict = {"index": None, "version": 0, "rows": 0}
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        version = state["version"]
+        path = f"{index_base}_v{version}"
+        # ids are always assigned by the engine (continuing ranges per
+        # batch) — source-supplied ids would collide across batches
+        if "doc_id" in batch.columns:
+            batch = batch.drop("doc_id")
+        if state["index"] is None:
+            state["index"] = build_index(spark, batch, path, cfg, force=True)
+        else:
+            state["index"] = add_documents(state["index"], batch, path)
+        state["version"] = version + 1
+        state["rows"] += batch.count()
+        if on_batch is not None:
+            on_batch(batch_id, state["index"])
+
+    writer = pages_stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start(), state

@@ -251,3 +251,35 @@ def six_traced(spark, tmp_path_factory):
     traced = retrieve_with_explanations(scored, idx.params, idx.avgdl)
     docs = [r["doc_id"] for r in traced.orderBy("rank").collect()[:2]]
     return traced, docs
+
+
+class TestPagesSource:
+    def test_identifier_detection(self):
+        from bayesian_bm25_spark.sources.pages_source import is_table_identifier
+
+        assert is_table_identifier("iceberg_cat.web.pages")
+        assert not is_table_identifier("/root/testdata/sf0.001/documents.parquet")
+        assert not is_table_identifier("s3://bucket/pages")
+        assert not is_table_identifier("pages.parquet")
+
+    def test_parquet_branch_prunes_columns(self, spark, tmp_path):
+        from bayesian_bm25_spark.sources.pages_source import read_pages
+        from bayesian_bm25_spark.sources.webcorpus import generate_pages
+
+        p = str(tmp_path / "pages.parquet")
+        generate_pages(spark, 20, seed=1).withColumn(
+            "junk", F.lit("x")
+        ).write.parquet(p)
+        df = read_pages(spark, p)
+        assert "junk" not in df.columns and "url" in df.columns and "doc_id" in df.columns
+        # projection reaches the parquet scan (column pruning)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "junk" not in plan.split("ReadSchema")[-1]
+
+    def test_missing_text_rejected(self, spark, tmp_path):
+        from bayesian_bm25_spark.sources.pages_source import read_pages
+
+        p = str(tmp_path / "bad.parquet")
+        spark.createDataFrame([(1, "u")], "a long, url string").write.parquet(p)
+        with pytest.raises(ValueError, match="url\\+text"):
+            read_pages(spark, p)

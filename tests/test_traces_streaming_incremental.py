@@ -234,3 +234,44 @@ class TestPartialResume:
         assert after == before
         assert idx2.term_stats.count() == n_term_stats
         assert idx2.params.alpha == pytest.approx(alpha1, rel=1e-9)
+
+
+class TestStreamingIngest:
+    def test_micro_batches_append_into_index(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from bayesian_bm25_spark.operators import query as Q
+        from bayesian_bm25_spark.streaming.online import start_streaming_ingest
+
+        src = tmp_path / "pages_stream"
+        src.mkdir()
+        # two files → availableNow processes them (micro-batched)
+        batches = [
+            [("https://a.test/0", "the cat sat", "en"),
+             ("https://a.test/1", "a dog barked", "en")],
+            [("https://b.test/2", "cats and more cats", "en")],
+        ]
+        for i, rows in enumerate(batches):
+            with open(src / f"part{i}.json", "w") as f:
+                for url, text, lang in rows:
+                    f.write(_json.dumps({"url": url, "text": text, "lang": lang}) + "\n")
+
+        stream = (
+            spark.readStream.schema("url string, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q, state = start_streaming_ingest(
+            stream, str(tmp_path / "stream_idx"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        idx = state["index"]
+        assert idx is not None and idx.n_docs == 3 and state["rows"] == 3
+        got = Q.retrieve(
+            idx.postings,
+            spark.createDataFrame([(0, ["cats"])], "query_id long, terms array<string>"),
+            idx.params, idx.avgdl, k=3,
+        ).collect()
+        assert len(got) >= 1  # "cats and more cats" matches

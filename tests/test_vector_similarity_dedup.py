@@ -289,3 +289,28 @@ class TestTextAnalysis:
         )
         fps = [r["fp"] for r in TA.fingerprint(docs).collect()]
         assert fps[0] == fps[1]
+
+
+class TestConnectedComponents:
+    def test_chain_and_isolated_cluster(self, spark):
+        # chain 1-2-3-4 (min label must propagate the full diameter)
+        # plus a separate pair (10, 11)
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (10, 11)], "a long, b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in DD.connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_long_path_converges(self, spark):
+        # path of 12 nodes: worst-case diameter for label propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "a long, b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in DD.connected_components(pairs).collect()
+        }
+        assert set(got.values()) == {0} and len(got) == 12
