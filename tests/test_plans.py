@@ -1,0 +1,117 @@
+"""Physical-plan assertions: the scale properties ARCHITECTURE.md claims
+are enforced here, not just described.
+
+Each test inspects the executed/initial Spark plan string for the
+property that makes the operator survive a 100× scale-up:
+
+- scoring aggregation runs WITHOUT its own exchange (postings are
+  hash-partitioned by doc_id first; HashPartitioning on a subset of the
+  grouping keys satisfies the agg's distribution requirement)
+- the postings scan is partition-pruned to query-term buckets
+- the θ-pass cutoff build compiles to WindowGroupLimit (map-side top-B,
+  no Zipf-head sort in one task)
+- the query side of the scoring join is a broadcast, never a shuffle
+- Column-math operators (hyperplane buckets, language id, quality)
+  contain NO Python eval nodes — whole-stage codegen end to end
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesian_bm25_spark.operators import query as Q
+from bayesian_bm25_spark.operators.index_build import IndexConfig, build_index
+from bayesian_bm25_spark.sources.webcorpus import generate_pages, queries_to_df
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plan_idx(spark, tmp_path_factory):
+    pages = generate_pages(spark, 2000, seed=11, num_partitions=8)
+    return build_index(
+        spark, pages, str(tmp_path_factory.mktemp("idx_plans")),
+        IndexConfig(alpha=1.0, beta=1.0, base_rate=0.05, build_compressed=False),
+    )
+
+
+class TestScoringPlan:
+    def test_no_exchange_for_scoring_aggregation(self, plan_idx):
+        qdf = queries_to_df(plan_idx.spark, [["w1", "w2"], ["w3"]])
+        import re
+
+        plan = plan_of(Q.score_queries(plan_idx.postings, qdf, prune_buckets=False))
+        # the big-side agg over (query_id, doc_id) reuses the explicit
+        # doc_id repartition — no exchange keyed on the full agg key.
+        # (the query-TERMS side has its own tiny exchange before the
+        # broadcast; that one is O(query batch), not O(index).)
+        assert "hashpartitioning(doc_id" in plan
+        assert not re.search(r"hashpartitioning\(query_id#\d+L?, doc_id", plan)
+
+    def test_query_side_is_broadcast(self, plan_idx):
+        qdf = queries_to_df(plan_idx.spark, [["w1"]])
+        plan = plan_of(Q.score_queries(plan_idx.postings, qdf, prune_buckets=False))
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_bucket_partition_pruning_reaches_scan(self, plan_idx):
+        qdf = queries_to_df(plan_idx.spark, [["w1"]])
+        pruned = Q.prune_query_terms_buckets(
+            plan_idx.postings, Q.query_terms(qdf), plan_idx.config.n_buckets
+        )
+        plan = plan_of(pruned)
+        # the term_bucket filter lands in the scan's PartitionFilters —
+        # a layout-pruned read, not a post-scan filter
+        scan = plan[plan.index("PartitionFilters"):]
+        assert "term_bucket" in scan.split("]")[0]
+
+
+class TestBuildPlan:
+    def test_theta_cutoff_uses_window_group_limit(self, plan_idx):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
+        cutoff = (
+            plan_idx.postings.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 128)
+            .groupBy("term")
+            .agg(F.min("impact").alias("prefix_cutoff"))
+        )
+        assert "WindowGroupLimit" in plan_of(cutoff)
+
+
+class TestCodegenOnlyOperators:
+    PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
+
+    def _assert_no_python(self, df):
+        plan = plan_of(df)
+        for node in self.PY_EVAL_NODES:
+            assert node not in plan, f"{node} found in plan"
+
+    def test_hyperplane_buckets_pure_column(self, spark):
+        from bayesian_bm25_spark.operators.similarity import hyperplane_lsh_buckets
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        self._assert_no_python(hyperplane_lsh_buckets(emb, 64, n_bits=4))
+
+    def test_text_analysis_pure_column(self, spark):
+        from bayesian_bm25_spark.operators.text_analysis import (
+            language_id,
+            quality_features,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        self._assert_no_python(language_id(docs.select("doc_id", "lang", "text")))
+        self._assert_no_python(quality_features(docs.select("doc_id", "text")))
+
+    def test_probability_path_pure_column(self, plan_idx):
+        qdf = queries_to_df(plan_idx.spark, [["w1"]])
+        scored = Q.with_probability(
+            Q.score_queries(plan_idx.postings, qdf, prune_buckets=False),
+            plan_idx.params,
+            plan_idx.avgdl,
+        )
+        self._assert_no_python(scored)
