@@ -141,3 +141,81 @@ def start_streaming_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start(), state
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "1 hour",
+):
+    """Custom stateful streaming operator: per-user session windows via
+    ``applyInPandasWithState`` (the engine's example of arbitrary
+    per-key state Spark's built-in windows can't express).
+
+    A session = consecutive events of one user with gaps ≤ ``gap_sec``
+    (exactly the batch ``events_sessions`` semantics).  State per user is
+    three longs (open-session start/last/count); a session is emitted
+    when a later event breaks the gap, or when the event-time timeout
+    fires past ``last + gap`` under the watermark.  State is O(active
+    users), never O(events) — the bounded-state requirement for an
+    unbounded stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+
+        def emit(rows):
+            return pd.DataFrame(
+                [
+                    {
+                        "user_id": int(user_id),
+                        "session_start": pd.Timestamp(s, unit="s"),
+                        "session_end": pd.Timestamp(e, unit="s"),
+                        "n_events": int(c),
+                    }
+                    for s, e, c in rows
+                ]
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit([(start, last, n)])
+            return
+
+        ts_all = sorted(
+            int(t.timestamp()) for pdf in pdfs for t in pdf["ts"].dropna()
+        )
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        closed = []
+        for t in ts_all:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_sec:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + gap_sec) * 1000)
+        if closed:
+            yield emit(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

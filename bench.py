@@ -55,7 +55,10 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("bb25spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        # 4× over-partitioning: with exactly one shuffle partition per
+        # core, any Zipf skew idles cores for the whole stage tail; 4
+        # waves let the scheduler rebalance around stragglers
+        .config("spark.sql.shuffle.partitions", str(max(CPUS * 4, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))

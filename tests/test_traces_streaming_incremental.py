@@ -275,3 +275,44 @@ class TestStreamingIngest:
             idx.params, idx.avgdl, k=3,
         ).collect()
         assert len(got) >= 1  # "cats and more cats" matches
+
+
+class TestStatefulSessionization:
+    def test_sessions_match_batch_semantics(self, spark, tmp_path):
+        import json as _json
+
+        from bayesian_bm25_spark.streaming.online import sessionize_stream
+
+        src = tmp_path / "events_stream"
+        src.mkdir()
+        # user 1: two sessions (gap 3600s > 1800s); user 2: one session.
+        rows = [
+            (1, "2024-01-01T00:00:00", ), (1, "2024-01-01T00:10:00"),
+            (1, "2024-01-01T02:00:00"), (1, "2024-01-01T02:05:00"),
+            (2, "2024-01-01T00:00:00"),
+        ]
+        with open(src / "part0.json", "w") as f:
+            for uid, ts in rows:
+                f.write(_json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+        )
+        out_dir = tmp_path / "sessions_out"
+        q = (
+            sessionize_stream(stream, gap_sec=1800)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["n_events"])
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+        # user 1's FIRST session closes when the 02:00 event breaks the
+        # gap inside the batch; open sessions stay in state (would emit
+        # on the event-time timeout in a live stream)
+        assert (1, 2) in got

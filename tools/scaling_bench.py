@@ -39,8 +39,14 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int) -> dict:
             "BENCH_N_QUERIES": str(n_queries),
         }
     )
+    # taskset pins the WHOLE process tree (JVM task threads, GC threads,
+    # Python/Arrow workers) to exactly `cores` CPUs — without it the
+    # local[N] leg freeloads GC and UDF workers onto the box's idle
+    # cores, inflating the small-N baseline and understating scaling
+    # efficiency relative to a real N-executor cluster.
     out = subprocess.run(
         [
+            "taskset", "-c", f"0-{cores - 1}",
             "spark-submit",
             "--master", f"local[{cores}]",
             "--py-files", zip_path,
