@@ -471,6 +471,34 @@ def _build_compressed_lists(
     # run lengths don't leave cores idle behind stragglers
     n_part = max(spark.sparkContext.defaultParallelism * 4, 8)
 
+    # the segments table has MB-sized BINARY payload rows (a hot term's
+    # compressed list); the vectorized parquet reader's default 4096-row
+    # columnar batch then materializes GBs on heap and OOMs executors.
+    # Cap the batch size for the merge stage's scan — rows are huge, so
+    # small batches lose nothing.
+    batch_key = "spark.sql.parquet.columnarReaderBatchSize"
+    old_batch = spark.conf.get(batch_key, None)
+    spark.conf.set(batch_key, "64")
+    try:
+        return _build_compressed_stages(
+            spark, postings, path, cfg, force, seg_dir, list_dir, n_part
+        )
+    finally:
+        if old_batch is not None:
+            spark.conf.set(batch_key, old_batch)
+
+
+def _build_compressed_stages(
+    spark: SparkSession,
+    postings: DataFrame,
+    path: str,
+    cfg: IndexConfig,
+    force: bool,
+    seg_dir: str,
+    list_dir: str,
+    n_part: int,
+) -> DataFrame:
+
     def encode_runs(batches):
         def flush(g: dict) -> dict:
             # rows arrive sorted by (term, salt, doc_id) already

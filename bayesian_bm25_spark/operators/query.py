@@ -46,13 +46,19 @@ def query_terms(queries: DataFrame) -> DataFrame:
 
 
 def prune_query_terms_buckets(postings: DataFrame, qterms: DataFrame, n_buckets: int) -> DataFrame:
-    """Partition-prune the postings scan to buckets containing query terms."""
+    """Partition-prune the postings scan to buckets containing query terms.
+
+    Large query batches hit every bucket (a 1000-query Zipf batch covers
+    all 32); in that case the filter is a no-op predicate evaluated per
+    row — skip it entirely."""
     buckets = [
         r["b"]
         for r in qterms.select(
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
         ).distinct().collect()
     ]
+    if len(buckets) >= n_buckets:
+        return postings
     return postings.where(F.col("term_bucket").isin(buckets))
 
 

@@ -52,8 +52,12 @@ def main() -> None:
 
     from bayesian_bm25_spark.entry_queries import SPARK_QUERIES
 
+    # BENCH_MASTER overrides the default thread-local master — used by
+    # tools/scaling_bench.py --multi-jvm to run real separate executor
+    # JVMs (local-cluster[N,C,M]), the honest N-vs-4N-executor topology
+    master = os.environ.get("BENCH_MASTER", f"local[{CPUS}]")
     spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
+        SparkSession.builder.master(master)
         .appName("bb25spark-bench")
         # 4× over-partitioning: with exactly one shuffle partition per
         # core, any Zipf skew idles cores for the whole stage tail; 4

@@ -3,7 +3,14 @@ BENCH/BASELINE.md): times the engine's core primitives at two
 parallelism levels with a warm-up pass, isolating operator scaling from
 whole-pipeline Amdahl/contention effects.
 
-Usage: python tools/op_scaling.py <pages_parquet_dir> [N] [4N]
+CAVEAT (round 2): run this under ``taskset -c 0-{N-1}`` per level, and
+discard the first measurement at each level — this VM's first-touch
+page backing is ~5× slow, which deflated round 1's "operator ceiling"
+numbers (0.58-0.77).  With pinning and warm pages, pure CPU work scales
+at ~0.91 on this box (see BENCH/BASELINE.md "Where the remaining gap
+comes from").
+
+Usage: taskset -c 0-{N-1} python tools/op_scaling.py <pages_parquet_dir> [N] [4N]
 """
 
 from __future__ import annotations

