@@ -242,14 +242,25 @@ def retrieve_maxscore(
         return retrieve(postings, queries, params, avgdl, k=k, n_buckets=n_buckets)
 
     spark = postings.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism * 2
+    # 4× over-partitioning: the exact pass shuffle-hash-builds the
+    # candidate set per partition (no-spill build side) — smaller
+    # partitions keep each task's hash map well under its execution-
+    # memory share on small-heap executors
+    p = num_partitions or spark.sparkContext.defaultParallelism * 4
     qt = query_terms(queries)
     src = postings
     if n_buckets and "term_bucket" in postings.columns:
         src = prune_query_terms_buckets(postings, qt, n_buckets)
 
     # -- A: θ from impact-ordered prefixes ---------------------------------
-    cutoffs = term_stats.select("term", "prefix_cutoff")
+    # restrict term_stats to the query batch FIRST (broadcast the tiny
+    # term set into the vocab-sized stats table) so the cutoff relation
+    # broadcast below is bounded by the batch, never by |vocab| — at
+    # 10^12 docs the vocabulary is itself a big table
+    batch_terms = qt.select("term").distinct()
+    cutoffs = term_stats.join(F.broadcast(batch_terms), "term").select(
+        "term", "prefix_cutoff"
+    )
     prefix = src.join(F.broadcast(cutoffs), "term").where(
         F.col("impact") >= F.col("prefix_cutoff")
     )
@@ -266,9 +277,11 @@ def retrieve_maxscore(
     )
 
     # -- B: essential terms per query --------------------------------------
-    qt_ub = qt.join(F.broadcast(term_stats.select("term", "max_impact")), "term").withColumn(
-        "ub", F.col("max_impact") * F.col("qtf")
-    )
+    # broadcast the query terms INTO term_stats (not the reverse): the
+    # stats table is |vocab| rows, the query batch is KBs
+    qt_ub = term_stats.select("term", "max_impact").join(
+        F.broadcast(qt), "term"
+    ).withColumn("ub", F.col("max_impact") * F.col("qtf"))
     w_cum = (
         Window.partitionBy("query_id")
         .orderBy(F.asc("ub"), F.asc("term"))
