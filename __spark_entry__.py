@@ -46,11 +46,12 @@ def oracle_sql() -> dict[str, str]:
     (e.g. the parquet is absent) the entry degrades to the rows-only
     check instead of breaking the suite.
 
-    Entries absent here (compressed_postings, ivf_topk,
-    vector_calibrated_topk) are non-SQL-expressible (binary codec,
-    iterative k-means / per-query EM) and get the driver's rows-only
-    check; their exactness is covered by pytest goldens against the
-    numpy kernel.
+    Entries absent here (ivf_topk, vector_calibrated_topk) are
+    non-SQL-expressible (iterative k-means / per-query EM) and get the
+    driver's rows-only check; their exactness is covered by pytest
+    goldens against the numpy kernel.  Everything else — including the
+    binary posting-list codec, whose exact compressed byte sizes the
+    SQL predicts from the varbyte layout — is oracle-checked (42/44).
     """
     out = dict(ORACLE_SQL)
     for name, build in ORACLE_SQL_BUILDERS.items():

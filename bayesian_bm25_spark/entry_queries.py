@@ -974,6 +974,37 @@ def q_compressed_postings(spark, sf_dir):
     )
 
 
+# The codec layout is deterministic (postings_codec.py: 12-byte header +
+# varbyte doc-gaps + varbyte tfs + 8n raw impacts), so the oracle can
+# PREDICT the exact compressed byte size in SQL: varbyte(v) =
+# floor(log2(v)/7)+1 bytes (1 for v ≤ 0).  log2 is exact at the power-of-
+# two byte boundaries, so the floor never mis-rounds.
+_SQL_VB = "greatest(1, floor(log2(greatest({v}, 1)) / 7) + 1)"
+
+SQL_COMPRESSED_POSTINGS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+tfx AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+gaps AS (
+  SELECT term, tf,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS gap
+  FROM tfx
+)
+SELECT term, count(*)::BIGINT AS df,
+       (12 + sum({_SQL_VB.format(v='gap')}) + sum({_SQL_VB.format(v='tf')})
+           + 8 * count(*))::BIGINT AS payload_bytes,
+       true AS roundtrip_ok
+FROM gaps GROUP BY term
+"""
+
+
 def _isotonic_fit_rows(rows):
     """Weighted PAVA over (rounded score, Σy, count) aggregates —
     shared by the Spark entry and the oracle builder so both sides fit
@@ -1287,6 +1318,7 @@ ORACLE_SQL: dict[str, str] = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "attention_fusion": SQL_ATTENTION_FUSION,
+    "compressed_postings": SQL_COMPRESSED_POSTINGS,
 }
 
 # Data-dependent oracles (the SQL inlines driver-fit constants computed

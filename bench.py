@@ -56,8 +56,15 @@ def main() -> None:
     # tools/scaling_bench.py --multi-jvm to run real separate executor
     # JVMs (local-cluster[N,C,M]), the honest N-vs-4N-executor topology
     master = os.environ.get("BENCH_MASTER", f"local[{CPUS}]")
+    builder = SparkSession.builder.master(master)
+    if os.environ.get("BENCH_EXECUTOR_MEM"):
+        # local-cluster executors default to a 1g heap regardless of the
+        # worker pool size — set it on the context explicitly
+        builder = builder.config(
+            "spark.executor.memory", os.environ["BENCH_EXECUTOR_MEM"]
+        )
     spark = (
-        SparkSession.builder.master(master)
+        builder
         .appName("bb25spark-bench")
         # 4× over-partitioning: with exactly one shuffle partition per
         # core, any Zipf skew idles cores for the whole stage tail; 4

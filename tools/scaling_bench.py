@@ -38,7 +38,8 @@ def make_pyfiles_zip(path: str) -> None:
 
 
 def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int,
-              master: str | None = None, pin_cores: int | None = None) -> dict:
+              master: str | None = None, pin_cores: int | None = None,
+              executor_mem: str | None = None) -> dict:
     env = dict(os.environ)
     env.update(
         {
@@ -49,6 +50,8 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int,
     )
     if master:
         env["BENCH_MASTER"] = master
+    if executor_mem:
+        env["BENCH_EXECUTOR_MEM"] = executor_mem
     # taskset pins the WHOLE process tree (JVM task threads, GC threads,
     # Python/Arrow workers) to exactly `cores` CPUs — without it the
     # local[N] leg freeloads GC and UDF workers onto the box's idle
@@ -59,6 +62,10 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int,
             "taskset", "-c", f"0-{(pin_cores or cores) - 1}",
             "spark-submit",
             "--master", master or f"local[{cores}]",
+            # NOTE: local-cluster[N,C,M]'s M only caps the worker pool;
+            # the executor JVM heap is spark.executor.memory (default
+            # 1g!) — it must be passed explicitly
+            *(["--executor-memory", executor_mem] if executor_mem else []),
             "--py-files", zip_path,
             "--driver-memory", env.get("BENCH_DRIVER_MEM", "16g"),
             os.path.join(REPO, "bench.py"),
@@ -97,10 +104,12 @@ def main() -> None:
         ]
         print(f"running bench on {legs[0][1]}...", file=sys.stderr)
         r_n = run_bench(legs[0][0], zip_path, n_docs, n_queries,
-                        master=legs[0][1], pin_cores=legs[0][2])
+                        master=legs[0][1], pin_cores=legs[0][2],
+                        executor_mem="20g")
         print(f"running bench on {legs[1][1]}...", file=sys.stderr)
         r_4n = run_bench(legs[1][0], zip_path, n_docs, n_queries,
-                         master=legs[1][1], pin_cores=legs[1][2])
+                         master=legs[1][1], pin_cores=legs[1][2],
+                         executor_mem="20g")
     else:
         print(f"running bench at local[{n}]...", file=sys.stderr)
         r_n = run_bench(n, zip_path, n_docs, n_queries)
