@@ -40,6 +40,9 @@ HEADLINE = [
     "cosine_topk",
     "minhash_lsh_pairs",
     "dedup_exact",
+    "dedup_components",
+    "simhash_fingerprints",
+    "multimodal_features",
     "fusion_ops",
     "calibration_metrics",
     "pricing_summary",
