@@ -312,6 +312,10 @@ def _build_index_impl(
         inputs=[docs_dir],
         partition_by=["term_bucket"],
         force=force,
+        # the postings table is the QUERY-hot scan: snappy decodes ~3x
+        # cheaper than zstd, and every retrieval pass reads it — the
+        # zstd build default applies only to write-once checkpoints
+        compression="snappy",
     )
 
     term_stats_dir = os.path.join(path, "term_stats")

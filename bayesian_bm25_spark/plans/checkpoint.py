@@ -55,6 +55,7 @@ def write_stage(
     metrics: dict | None = None,
     partition_by: list[str] | None = None,
     collect_partition_metrics: bool = True,
+    compression: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as a checkpointed stage and return the re-read frame.
 
@@ -64,6 +65,11 @@ def write_stage(
     spark = df.sparkSession
     t0 = time.time()
     writer = df.write.mode("overwrite")
+    if compression:
+        # per-stage codec override: query-HOT tables (postings) stay on
+        # cheap-to-decode snappy; write-once checkpoint stages default
+        # to the session codec (zstd during builds — see index_build)
+        writer = writer.option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage_dir)
@@ -104,6 +110,7 @@ def run_stage(
     metrics_fn=None,
     partition_by: list[str] | None = None,
     force: bool = False,
+    compression: str | None = None,
 ) -> DataFrame:
     """Execute ``build_fn()`` unless a complete checkpoint already exists.
 
@@ -120,4 +127,5 @@ def run_stage(
         inputs=inputs,
         metrics=metrics,
         partition_by=partition_by,
+        compression=compression,
     )

@@ -11,7 +11,7 @@ Usage:
   python tools/scaling_bench.py [N] [N_DOCS] [N_QUERIES]
       thread proxy: taskset-pinned local[N] vs local[4N] in one JVM
   python tools/scaling_bench.py --multi-jvm [E] [N_DOCS] [N_QUERIES]
-      executor proxy: local-cluster[E,4,8192] vs local-cluster[4E,4,8192]
+      executor proxy: local-cluster[E,4,24576] vs local-cluster[4E,4,24576]
       — REAL separate executor JVMs (own heap/GC, netty shuffle), the
       topology the north rule's "N and 4N executors" actually means.
       Each leg is pinned to 4·E(+2 driver) CPUs.
@@ -99,8 +99,8 @@ def main() -> None:
 
     if multi_jvm:
         legs = [
-            (4 * n, f"local-cluster[{n},4,8192]", 4 * n + 2),
-            (16 * n, f"local-cluster[{4 * n},4,8192]", 16 * n + 2),
+            (4 * n, f"local-cluster[{n},4,24576]", 4 * n + 2),
+            (16 * n, f"local-cluster[{4 * n},4,24576]", 16 * n + 2),
         ]
         print(f"running bench on {legs[0][1]}...", file=sys.stderr)
         r_n = run_bench(legs[0][0], zip_path, n_docs, n_queries,
