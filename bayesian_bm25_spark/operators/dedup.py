@@ -287,29 +287,41 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("component").alias("neigh_min"))
         )
-        new_labels = (
+        # checkpoint the JOINED frame (old label + neighbor min side by
+        # side) so the convergence probe is a cheap count over the
+        # already-materialized blocks — no second join+shuffle per round
+        joined = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("neigh_min", F.col("component"))
-                ).alias("component"),
+                "component",
+                F.coalesce("neigh_min", F.col("component")).alias("neigh_min"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
+        changed = joined.where(F.col("neigh_min") < F.col("component")).count()
+        labels = joined.select(
+            "node", F.least("component", "neigh_min").alias("component")
         )
-        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a chain longer than max_iterations would come back split —
+        # keep/drop decisions on node == component would KEEP duplicates
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; components may be split (raise max_iterations)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

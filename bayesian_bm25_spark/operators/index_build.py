@@ -115,10 +115,11 @@ def assign_doc_ids(
 
     The ids are identical to ``row_number() over (ORDER BY url)`` − 1
     (rank-identity pytest enforces it): the range exchange is given an
-    explicit partition count (AQE never re-coalesces it) and Spark's
-    range sampling is deterministic over a deterministic input relation
-    (a parquet scan), so the count job and the id job see the same
-    boundaries.
+    explicit partition count (AQE never re-coalesces it) and the
+    partitioned frame is localCheckpoint-ed before the count job, so
+    the count job and the id job read the SAME materialized partitions
+    even when the upstream relation is nondeterministic (json scans,
+    joins, samples — e.g. the BEIR loader's output).
     """
     import numpy as np
     import pandas as pd
@@ -131,6 +132,14 @@ def assign_doc_ids(
         pages.repartitionByRange(p, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
+        # materialize the partitioning ONCE (the counts job below
+        # triggers it; the id job re-reads the stored blocks).  Without
+        # this the two jobs re-execute the range exchange independently
+        # and a nondeterministic upstream (a json scan + join, a sample)
+        # can land rows in different partitions between them — silently
+        # duplicated/skipped ids.  For a deterministic parquet scan the
+        # checkpoint is merely cheap insurance.
+        .localCheckpoint(eager=False)
     )
     counts = (
         parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
@@ -256,6 +265,11 @@ def _read_split_cap(spark: SparkSession, cap: str = "16m"):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # the key was unset before the build — restore that, or
+                # the override (zstd codec, v2 committer, 16m splits)
+                # leaks into every later query in the session
+                spark.conf.unset(k)
 
 
 def build_index(
@@ -494,21 +508,37 @@ def _build_compressed_lists(
     # compressed list); the vectorized parquet reader's default 4096-row
     # columnar batch then materializes GBs on heap and OOMs executors.
     # Cap the batch size for the merge stage's scan — rows are huge, so
-    # small batches lose nothing.
-    batch_key = "spark.sql.parquet.columnarReaderBatchSize"
-    old_batch = spark.conf.get(batch_key, None)
-    spark.conf.set(batch_key, "64")
-    try:
-        return _build_compressed_stages(
-            spark, postings, path, cfg, force, seg_dir, list_dir, n_part
-        )
-    finally:
-        if old_batch is not None:
-            spark.conf.set(batch_key, old_batch)
+    # small batches lose nothing.  The cap lives in a CLONED session
+    # (own SQLConf over the shared SparkContext): batch size is SQLConf-
+    # only (no per-scan parquet option), and setting it on the shared
+    # session would (a) race with the sibling term_stats/block_max jobs
+    # planned concurrently by the build thread pool and (b) leak the
+    # 64-row batch to every later scan when the key was unset before.
+    merge_spark = spark.newSession()
+    # newSession() starts from the context conf, not the runtime conf —
+    # carry over the build-scoped write tuning so the merge stage writes
+    # like every other checkpoint stage
+    for k in (
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.parquet.compression.codec",
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "spark.sql.shuffle.partitions",
+    ):
+        v = spark.conf.get(k, None)
+        if v is not None:
+            merge_spark.conf.set(k, v)
+    merge_spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
+    _build_compressed_stages(
+        spark, merge_spark, postings, path, cfg, force, seg_dir, list_dir, n_part
+    )
+    # hand the checkpoint back on the caller's session so downstream
+    # lineage never references the clone
+    return spark.read.parquet(list_dir)
 
 
 def _build_compressed_stages(
     spark: SparkSession,
+    merge_spark: SparkSession,
     postings: DataFrame,
     path: str,
     cfg: IndexConfig,
@@ -539,7 +569,7 @@ def _build_compressed_stages(
             .mapInPandas(encode_runs, schema=_SEGMENT_SCHEMA)
         )
 
-    segments = ckpt.run_stage(
+    ckpt.run_stage(
         spark,
         seg_dir,
         build_segments,
@@ -558,10 +588,14 @@ def _build_compressed_stages(
 
         yield from _run_grouped(batches, ["term"], flush)
 
+    # the merge scan of the MB-row segments table runs on merge_spark
+    # (batch-capped clone — see _build_compressed_lists); re-reading
+    # seg_dir through it keeps the cap scan-local
     return ckpt.run_stage(
-        spark,
+        merge_spark,
         list_dir,
-        lambda: segments.repartition(n_part, "term")
+        lambda: merge_spark.read.parquet(seg_dir)
+        .repartition(n_part, "term")
         .sortWithinPartitions("term", "salt")
         .mapInPandas(merge_runs, schema=_LIST_SCHEMA),
         stage="posting_lists",

@@ -15,6 +15,8 @@ the watermark).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,10 +120,38 @@ def start_streaming_ingest(
     cfg = config or IndexConfig()
     state: dict = {"index": None, "version": 0, "rows": 0}
 
+    def recover_latest(spark) -> None:
+        """Resume from the newest COMMITTED ``{base}_v{n}`` on disk.
+
+        After a restart the streaming checkpoint replays only unseen
+        micro-batches; rebuilding from scratch here would silently drop
+        every batch the checkpoint already considers committed.  A
+        version is committed iff its ``params.json`` exists — the build
+        writes it strictly after all stage checkpoints.
+        """
+        import glob
+        import re
+
+        from bayesian_bm25_spark.operators.index_build import load_index
+
+        best = None
+        for d in glob.glob(f"{glob.escape(index_base)}_v*"):
+            m = re.fullmatch(re.escape(index_base) + r"_v(\d+)", d)
+            if m and os.path.exists(os.path.join(d, "params.json")):
+                n = int(m.group(1))
+                if best is None or n > best:
+                    best = n
+        if best is not None:
+            state["index"] = load_index(spark, f"{index_base}_v{best}")
+            state["version"] = best + 1
+            state["rows"] = state["index"].n_docs
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        if state["index"] is None and state["version"] == 0:
+            recover_latest(spark)
         version = state["version"]
         path = f"{index_base}_v{version}"
         # ids are always assigned by the engine (continuing ranges per

@@ -56,6 +56,22 @@ def six_oracle():
 
 
 class TestBuild:
+    def test_build_scoped_conf_restored(self, spark, tmp_path):
+        """build_index's session tuning (split cap, zstd codec, v2
+        committer, reader batch) must not leak: keys unset before the
+        build stay unset after (conf.unset, not a skipped restore)."""
+        keys = [
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.parquet.compression.codec",
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "spark.sql.parquet.columnarReaderBatchSize",
+        ]
+        before = {k: spark.conf.get(k, None) for k in keys}
+        pages = pages_df_from_texts(spark, SIX_DOCS)
+        build_index(spark, pages, str(tmp_path / "conf_idx"), IndexConfig())
+        after = {k: spark.conf.get(k, None) for k in keys}
+        assert after == before
+
     def test_corpus_stats(self, six_index):
         corpus = [tokenize(d) for d in SIX_DOCS]
         assert six_index.n_docs == 6

@@ -276,6 +276,43 @@ class TestStreamingIngest:
         ).collect()
         assert len(got) >= 1  # "cats and more cats" matches
 
+    def test_restart_recovers_committed_index(self, spark, tmp_path):
+        """A restarted query must APPEND to the on-disk index, not
+        rebuild from scratch — the streaming checkpoint won't replay
+        batches it already committed."""
+        import json as _json
+
+        from bayesian_bm25_spark.streaming.online import start_streaming_ingest
+
+        src = tmp_path / "pages_stream2"
+        src.mkdir()
+        with open(src / "part0.json", "w") as f:
+            f.write(_json.dumps({"url": "https://a.test/0", "text": "first run doc", "lang": "en"}) + "\n")
+
+        schema = "url string, text string, lang string"
+        stream = spark.readStream.schema(schema).json(str(src))
+        q, state = start_streaming_ingest(
+            stream, str(tmp_path / "restart_idx"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+        q.awaitTermination(120)
+        assert state["index"].n_docs == 1
+
+        # "restart": fresh state dict, same checkpoint dir, one new file
+        with open(src / "part1.json", "w") as f:
+            f.write(_json.dumps({"url": "https://a.test/1", "text": "second run doc", "lang": "en"}) + "\n")
+        stream2 = spark.readStream.schema(schema).json(str(src))
+        q2, state2 = start_streaming_ingest(
+            stream2, str(tmp_path / "restart_idx"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+        q2.awaitTermination(120)
+        # recovered v0 (1 doc) + appended the replayed new batch → 2 docs
+        assert state2["index"] is not None
+        assert state2["index"].n_docs == 2
+        urls = {r["url"] for r in state2["index"].doc_stats.collect()}
+        assert urls == {"https://a.test/0", "https://a.test/1"}
+
 
 class TestStatefulSessionization:
     def test_sessions_match_batch_semantics(self, spark, tmp_path):
