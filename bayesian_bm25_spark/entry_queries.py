@@ -1094,6 +1094,81 @@ FROM probs LEFT JOIN breaks b ON probs.p > b.x0 AND probs.p <= b.x1
 """
 
 
+def build_sql_ivf_topk(sf_dir: str | None = None) -> str:
+    """Data-dependent oracle for the IVF entry: re-derive the 16
+    seeded-k-means centroids from the SAME deterministic strided sample
+    (similarity.train_centroids — driver math, no Spark), inline them as
+    DOUBLE[] literals, and express cell assignment (max-dot over the 16
+    literals), nprobe-4 probing, and exact cosine top-k in plain SQL.
+
+    Parity contract: centroids are L2-normalized, so argmax dot ==
+    argmax cosine; both engines accumulate in float64 over float32
+    values; ranks order by round(sim, 6) DESC, vec_id ASC."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from bayesian_bm25_spark.operators import similarity as SIM
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+    ).fetchone()[0]
+    stride = max(1, n // 4096)
+    rows = con.execute(
+        f"SELECT embedding FROM '{sf}/embeddings.parquet' "
+        f"WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    con.close()
+    train = np.array([r[0] for r in rows], dtype=np.float32)
+    cent = SIM.train_centroids(train, n_cells=16, seed=42).astype(np.float64)
+    cent_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(_sql_double(v) for v in c))
+        for i, c in enumerate(cent)
+    )
+    return f"""
+WITH cent(cell_id, cv) AS (VALUES {cent_rows}),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+assigned AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT vec_id, e, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(e, cv) DESC, cell_id ASC) AS rc
+    FROM emb CROSS JOIN cent
+  ) WHERE rc = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, e AS q FROM emb
+  WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64
+),
+probe AS (
+  SELECT query_id, q, cell_id FROM (
+    SELECT query_id, q, cell_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_dot_product(q, cv) DESC, cell_id ASC) AS rc
+    FROM queries CROSS JOIN cent
+  ) WHERE rc <= 4
+),
+sims AS (
+  SELECT p.query_id, a.vec_id,
+         CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(p.q, p.q)) > 0e0
+              THEN list_dot_product(a.e, p.q)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(p.q, p.q)))
+              ELSE 0e0 END AS sim
+  FROM probe p JOIN assigned a USING (cell_id)
+),
+ranked AS (
+  SELECT query_id, vec_id, round(sim, 6) AS sim_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sim, 6) DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, sim_r FROM ranked WHERE rank <= 10
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + typed metadata, batch
     feature extraction via mapInPandas.  Decode is a deterministic stub
@@ -1325,6 +1400,7 @@ ORACLE_SQL: dict[str, str] = {
 # from the oracle-side data): resolved lazily by __spark_entry__.oracle_sql.
 ORACLE_SQL_BUILDERS: dict[str, Callable[[], str]] = {
     "isotonic_calibrate": build_sql_isotonic_calibrate,
+    "ivf_topk": build_sql_ivf_topk,
 }
 
 
@@ -1803,8 +1879,12 @@ SQL_LANGUAGE_ID = _build_sql_language_id()
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN (k-means cells, nprobe probing) — rows-only: the
-    centroid training is iterative seeded driver state.
+    """IVF ANN (k-means cells, nprobe probing) — oracle-checked: the
+    trained centroids are deterministic seeded driver state (16 × dim
+    float32), so build_sql_ivf_topk re-derives them from the same
+    strided sample and inlines them into plain SQL (argmin cell
+    assignment, nprobe probing, exact cosine top-k — the same recipe as
+    the attention W,b and LSH hyperplane oracles).
 
     Driver state is BOUNDED at any corpus size: centroids train on a
     deterministic strided sample capped at 4096 rows (similarity.py's
@@ -1836,13 +1916,147 @@ def q_ivf_topk(spark, sf_dir):
         .collect()
     )
     queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in qrows]
-    out = SIM.ivf_search(assigned, centroids, queries, k=10, nprobe=4)
+    out = SIM.ivf_search(assigned, centroids, queries, k=10, nprobe=4, rank_round=6)
     return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
+
+
+def q_vector_background_fit(spark, sf_dir):
+    """The SQL-expressible stages of the vector-calibration pipeline,
+    oracle-checked (the per-query EM stays in the rows-only
+    ``vector_calibrated_topk`` entry): pairwise cosine distances →
+    global background fit (μ_G, σ_G — vector_calibrate.fit_background)
+    → per-query semantic-gap detection (detect_gap semantics: max
+    gap/span ≥ 0.15, else z > 2 fallback) → signal count below the gap
+    threshold (gap_weights).
+
+    Distances are rounded to 9 decimals BEFORE the gap math — the
+    entry's cross-engine determinism contract (double summation order
+    differs between engines; a 1e-16 drift must not flip the argmax).
+    Everything is distributed Column math: the per-query windows ride
+    bounded candidate sets, aggregates are per-query rows, the
+    background fit is one global agg."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    from bayesian_bm25_spark.operators import vector_ops as VO
+
+    dists = VO.distances_from_embeddings(emb, queries).select(
+        "query_id", "vec_id", F.round("distance", 9).alias("d")
+    )
+    bg = dists.agg(
+        F.avg("d").alias("mu_g"), F.stddev_pop("d").alias("sigma_g")
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    ordd = dists.select(
+        "query_id",
+        "vec_id",
+        "d",
+        (F.col("d") - F.lag("d").over(w)).alias("gap"),
+        F.row_number().over(w).alias("rn"),
+    )
+    agg = ordd.groupBy("query_id").agg(
+        (F.max("d") - F.min("d")).alias("span"),
+        F.max("gap").alias("max_gap"),
+        F.avg("gap").alias("mg"),
+        F.stddev_pop("gap").alias("sg"),
+    )
+    # threshold = d at the FIRST row achieving the max gap (numpy argmax
+    # tie-break); min over (rn, d) structs = lexicographic first
+    thr = (
+        ordd.join(F.broadcast(agg.select("query_id", "max_gap")), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("gap") == F.col("max_gap"), F.struct("rn", "d"))
+            ).alias("ts")
+        )
+        .select("query_id", F.col("ts.d").alias("thr"))
+    )
+    n_sig = (
+        dists.join(F.broadcast(thr), "query_id")
+        .groupBy("query_id")
+        .agg(F.sum(F.when(F.col("d") < F.col("thr"), 1).otherwise(0)).alias("n_below"))
+    )
+    eps = 1e-10
+    gap_found = (F.col("span") >= eps) & (
+        (F.col("max_gap") / F.col("span") >= 0.15)
+        | ((F.col("sg") > eps) & ((F.col("max_gap") - F.col("mg")) / F.col("sg") > 2.0))
+    )
+    return (
+        agg.join(thr, "query_id")
+        .join(n_sig, "query_id")
+        .crossJoin(F.broadcast(bg))
+        .select(
+            "query_id",
+            F.round("mu_g", 6).alias("mu_g_r"),
+            F.round("sigma_g", 6).alias("sigma_g_r"),
+            F.round("span", 6).alias("span_r"),
+            F.round("max_gap", 6).alias("max_gap_r"),
+            gap_found.cast("int").alias("gap_found"),
+            F.when(gap_found, F.round("thr", 9)).alias("thr_r"),
+            F.when(gap_found, F.col("n_below")).cast("long").alias("n_signal"),
+        )
+    )
+
+
+SQL_VECTOR_BACKGROUND_FIT = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+dist AS (
+  SELECT q.query_id, emb.vec_id,
+         round(1e0 - CASE WHEN sqrt(list_dot_product(emb.e, emb.e))
+                               * sqrt(list_dot_product(q.qe, q.qe)) > 0e0
+                          THEN list_dot_product(emb.e, q.qe)
+                               / (sqrt(list_dot_product(emb.e, emb.e))
+                                  * sqrt(list_dot_product(q.qe, q.qe)))
+                          ELSE 0e0 END, 9) AS d
+  FROM emb CROSS JOIN q
+),
+bg AS (SELECT avg(d) AS mu_g, stddev_pop(d) AS sigma_g FROM dist),
+ord AS (
+  SELECT query_id, vec_id, d,
+         d - lag(d) OVER (PARTITION BY query_id ORDER BY d, vec_id) AS gap,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+  FROM dist
+),
+agg AS (
+  SELECT query_id, max(d) - min(d) AS span, max(gap) AS max_gap,
+         avg(gap) AS mg, stddev_pop(gap) AS sg
+  FROM ord GROUP BY query_id
+),
+thr AS (
+  SELECT o.query_id, arg_min(o.d, o.rn) FILTER (WHERE o.gap = a.max_gap) AS thr
+  FROM ord o JOIN agg a USING (query_id) GROUP BY o.query_id
+),
+n_sig AS (
+  SELECT d.query_id, count(*) FILTER (WHERE d.d < t.thr)::BIGINT AS n_below
+  FROM dist d JOIN thr t USING (query_id) GROUP BY d.query_id
+),
+flags AS (
+  SELECT a.query_id, a.span, a.max_gap, a.mg, a.sg, t.thr, n.n_below,
+         (a.span >= 1e-10 AND (a.max_gap / a.span >= 0.15e0
+            OR (a.sg > 1e-10 AND (a.max_gap - a.mg) / a.sg > 2e0))) AS gf
+  FROM agg a JOIN thr t USING (query_id) JOIN n_sig n USING (query_id)
+)
+SELECT f.query_id,
+       round(b.mu_g, 6) AS mu_g_r,
+       round(b.sigma_g, 6) AS sigma_g_r,
+       round(f.span, 6) AS span_r,
+       round(f.max_gap, 6) AS max_gap_r,
+       f.gf::INT AS gap_found,
+       CASE WHEN f.gf THEN round(f.thr, 9) END AS thr_r,
+       CASE WHEN f.gf THEN f.n_below END AS n_signal
+FROM flags f CROSS JOIN bg b
+"""
 
 
 def q_vector_calibrated_topk(spark, sf_dir):
     """Density-ratio vector calibration (KDE/GMM auto-routing) —
-    rows-only: iterative EM per candidate set."""
+    rows-only: iterative EM per candidate set.  The SQL-expressible
+    stages (distances, background fit, gap detection) are oracle-checked
+    separately in ``vector_background_fit``; per-prob monotonicity under
+    binary gap weights is property-tested (test_properties)."""
     from bayesian_bm25_spark.operators import vector_ops as VO
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1951,6 +2165,7 @@ SPARK_QUERIES.update(
         "language_id": q_language_id,
         "ivf_topk": q_ivf_topk,
         "vector_calibrated_topk": q_vector_calibrated_topk,
+        "vector_background_fit": q_vector_background_fit,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
     }
@@ -1961,6 +2176,7 @@ ORACLE_SQL.update(
         "quality_scores": SQL_QUALITY_SCORES,
         "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
         "language_id": SQL_LANGUAGE_ID,
+        "vector_background_fit": SQL_VECTOR_BACKGROUND_FIT,
         "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     }

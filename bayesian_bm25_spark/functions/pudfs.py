@@ -74,14 +74,18 @@ def score_to_probability_udf(alpha: float, beta: float, base_rate, mode: str = "
 
 
 def cell_assign_udf(centroids: np.ndarray):
-    """argmax-cosine cell assignment against broadcast centroids."""
-    from bayesian_bm25_spark.operators.similarity import l2_normalize_rows
+    """argmax-cosine cell assignment against broadcast centroids.
 
-    cent = np.asarray(centroids, dtype=np.float32)
+    ``centroids`` must be L2-normalized (train_centroids' contract), so
+    argmax dot == argmax cosine and the row vectors need no per-row
+    normalization.  Accumulation is float64 over the float32-valued
+    inputs — the same IEEE-double math an external SQL oracle computes
+    when the centroid values are inlined as literals."""
+    cent = np.asarray(centroids, dtype=np.float32).astype(np.float64)
 
     @pandas_udf("int")
     def cell_of(emb: pd.Series) -> pd.Series:
-        m = l2_normalize_rows(np.stack(emb.to_numpy()).astype(np.float32))
+        m = np.stack(emb.to_numpy()).astype(np.float64)
         return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
 
     return cell_of

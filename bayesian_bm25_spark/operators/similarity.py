@@ -119,23 +119,33 @@ def ivf_search(
     nprobe: int | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Cell-pruned exact search: per query keep only its top-nprobe
     cells, then exact cosine + window top-k.  The candidate scan is
     ``nprobe/n_cells`` of the table (partition pruning on cell_id when
-    the table is written partitioned by it)."""
+    the table is written partitioned by it).
+
+    ``centroids`` must be L2-normalized (train_centroids returns them
+    so); cell ranking is then argsort of raw dot products — cosine is
+    scale-invariant, so neither the query nor the centroids need another
+    normalization pass, and the float64 accumulation over float32 values
+    matches an external SQL oracle with the centroids inlined as
+    literals.  ``rank_round`` ranks by sim rounded to that many decimals
+    (ties broken by vec_id) for cross-engine-stable ranks."""
     spark = assigned.sparkSession
-    cent = l2_normalize_rows(np.asarray(centroids, dtype=np.float32))
+    cent = np.asarray(centroids, dtype=np.float32).astype(np.float64)
     n_cells = cent.shape[0]
     if nprobe is None:
         nprobe = max(1, int(round(math.sqrt(n_cells))))
     pairs = []
     for qid, qv in query_rows:
-        qn = np.asarray(qv, dtype=np.float32)
-        qn = qn / max(np.linalg.norm(qn), 1e-12)
-        top_cells = np.argsort(-(cent @ qn))[:nprobe]
+        qv32 = np.asarray(qv, dtype=np.float32)
+        # stable sort: exact dot ties resolve to the lower cell id,
+        # matching an oracle's (dot DESC, cell_id ASC) ordering
+        top_cells = np.argsort(-(cent @ qv32.astype(np.float64)), kind="stable")[:nprobe]
         for c in top_cells:
-            pairs.append((int(qid), int(c), [float(x) for x in qn]))
+            pairs.append((int(qid), int(c), [float(x) for x in qv32]))
     probe = spark.createDataFrame(
         pairs, "query_id long, cell_id int, q_emb array<float>"
     )
@@ -145,7 +155,8 @@ def ivf_search(
         F.col(id_col).alias("vec_id"),
         C.cosine_similarity(F.col(emb_col), F.col("q_emb")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    order = F.round("sim", rank_round) if rank_round is not None else F.col("sim")
+    w = Window.partitionBy("query_id").orderBy(F.desc(order), F.asc("vec_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -121,3 +121,31 @@ def test_fusion_algebra_bounds_and_order(probs):
     assert 0.0 < a <= float(np.min(clamp01(arr))) + 1e-12
     assert float(np.max(clamp01(arr))) - 1e-12 <= o <= 1.0
     assert 0.0 < c < 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.floats(0.02, 0.4), min_size=3, max_size=20),
+    st.lists(st.floats(0.75, 1.15), min_size=2, max_size=12),
+    st.sampled_from(["kde", "gmm", "auto"]),
+)
+def test_vector_calibrate_separates_across_gap(close, far, method):
+    """Under binary gap weights, calibrated probability must respect the
+    detected semantic gap: every signal-side point (w=1, below the gap
+    threshold) outranks every background-side point (w=0).  GMM can be
+    locally non-monotone WITHIN a mode (density bumps) — the invariant
+    the pipeline relies on is the cross-gap ordering, plus the clamp
+    bounds."""
+    from bayesian_bm25_spark.kernel.vector_calibrate import (
+        VectorProbabilityTransform,
+        gap_weights,
+    )
+
+    d = np.sort(np.array(close + far, dtype=np.float64))
+    w = gap_weights(d)
+    if w is None or w.sum() == 0 or w.sum() == len(d):
+        return  # no detectable gap in this draw — property is vacuous
+    t = VectorProbabilityTransform(mu_G=0.8, sigma_G=0.2, base_rate=0.05)
+    p = t.calibrate(d, weights=w, method=method)
+    assert np.all(p >= 1e-10 - 1e-18) and np.all(p <= 1.0 - 1e-10 + 1e-18)
+    assert p[w == 1.0].min() >= p[w == 0.0].max() - 1e-12
