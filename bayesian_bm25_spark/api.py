@@ -145,7 +145,7 @@ class BayesianBM25Scorer:
         if self._index.config.stemmer is not None:
             from bayesian_bm25_spark.functions.stemmer import stem_terms
 
-            return stem_terms(qdf)
+            return stem_terms(qdf, algorithm=self._index.config.stemmer)
         return qdf
 
     # -- query ------------------------------------------------------------

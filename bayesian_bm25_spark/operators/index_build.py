@@ -56,7 +56,7 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     method: str = "lucene"  # robertson | lucene | atire
-    stemmer: str | None = None  # None | "porter" (apply to index AND queries)
+    stemmer: str | None = None  # None | "porter" | "porter2"/"snowball" (index AND queries)
     alpha: float | None = None
     beta: float | None = None
     base_rate: float | str | None = None  # None | "auto" | float
@@ -175,18 +175,21 @@ def tokenize_pages(pages: DataFrame, stemmer: str | None = None) -> DataFrame:
     the dense url rank via ``assign_doc_ids`` — a range-partitioned
     two-pass zipWithIndex, never a global un-partitioned window.
 
-    ``stemmer="porter"`` (off by default) applies the pure-Python Porter
-    stemmer per token via an Arrow UDF — queries must then be stemmed
-    with the same flag (reference hybrid_beir.py:288-296 stems both
-    sides for its published BEIR numbers)."""
+    ``stemmer`` (off by default) applies a pure-Python stemmer per token
+    via an Arrow UDF: "porter" (classic 1980) or "porter2"/"snowball"
+    (Snowball English — the stemmer behind the reference's published
+    BEIR numbers, hybrid_beir.py:288-296).  Queries must then be stemmed
+    with the same flag (the reference stems both sides)."""
     base = pages if "doc_id" in pages.columns else assign_doc_ids(pages)
     tokens = C.tokenize(F.col("text"))
-    if stemmer == "porter":
-        from bayesian_bm25_spark.functions.stemmer import stem_tokens_udf
+    if stemmer is not None:
+        from bayesian_bm25_spark.functions.stemmer import (
+            resolve_stemmer,
+            stem_tokens_udf,
+        )
 
-        tokens = stem_tokens_udf()(tokens)
-    elif stemmer is not None:
-        raise ValueError(f"unknown stemmer {stemmer!r} (supported: 'porter')")
+        resolve_stemmer(stemmer)  # validate the name eagerly
+        tokens = stem_tokens_udf(stemmer)(tokens)
     return base.select(
         "doc_id",
         "url",

@@ -283,3 +283,109 @@ class TestPagesSource:
         spark.createDataFrame([(1, "u")], "a long, url string").write.parquet(p)
         with pytest.raises(ValueError, match="url\\+text"):
             read_pages(spark, p)
+
+
+class TestPorter2:
+    """Snowball English (Porter2) — the reference's BEIR-baseline
+    stemmer (hybrid_beir.py:288-296).  Expectations derived from the
+    published snowballstem.org spec: exception lists verbatim, plus
+    hand-traced step outputs on Porter1-divergent words."""
+
+    SPEC_EXCEPTIONS = {
+        "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+        "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+        "early": "earli", "only": "onli", "singly": "singl",
+        "sky": "sky", "news": "news", "atlas": "atlas", "bias": "bias",
+        "andes": "andes", "cosmos": "cosmos", "howe": "howe",
+        "inning": "inning", "outing": "outing", "canning": "canning",
+        "herring": "herring", "earring": "earring",
+        "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+    }
+
+    # Porter1 and Porter2 disagree on every one of these
+    DIVERGENT = {
+        "dying": ("dy", "die"),
+        "news": ("new", "news"),
+        "herring": ("her", "herring"),
+        "gas": ("ga", "gas"),
+        "ties": ("ti", "tie"),
+        "say": ("sai", "say"),
+        "enjoy": ("enjoi", "enjoy"),
+        "cry": ("cry", "cri"),
+        "generously": ("gener", "generous"),
+        "generally": ("gener", "general"),
+        "communal": ("commun", "communal"),
+    }
+
+    GRAMMAR = {
+        # gener-/commun-/arsen- R1 exception: morphological families
+        # keep distinct stems instead of collapsing to "gener"
+        "generate": "generat", "generates": "generat",
+        "generating": "generat", "general": "general",
+        "generic": "generic", "generous": "generous",
+        "communism": "communism", "arsenal": "arsenal",
+        # steps 0-5 hand-traced
+        "caresses": "caress", "ponies": "poni", "cries": "cri",
+        "cats": "cat", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "failing": "fail", "filing": "file", "happy": "happi",
+        "by": "by", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "valency": "valenc", "digitizer": "digit",
+        "radically": "radic", "differently": "differ",
+        "vileness": "vile", "analogously": "analog",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formality": "formal",
+        "sensibility": "sensibl", "dependent": "depend",
+        "replacement": "replac", "adjustable": "adjust",
+        "adoption": "adopt",
+    }
+
+    def test_spec_exception_lists(self):
+        from bayesian_bm25_spark.functions.stemmer import porter2_stem
+
+        for w, exp in self.SPEC_EXCEPTIONS.items():
+            assert porter2_stem(w) == exp, w
+
+    def test_divergent_from_porter1(self):
+        from bayesian_bm25_spark.functions.stemmer import (
+            porter2_stem,
+            porter_stem,
+        )
+
+        for w, (p1, p2) in self.DIVERGENT.items():
+            assert porter_stem(w) == p1, w
+            assert porter2_stem(w) == p2, w
+
+    def test_grammar_cases(self):
+        from bayesian_bm25_spark.functions.stemmer import porter2_stem
+
+        for w, exp in self.GRAMMAR.items():
+            assert porter2_stem(w) == exp, w
+
+    def test_index_build_with_porter2(self, spark, tmp_path):
+        from bayesian_bm25_spark.functions.stemmer import stem_terms
+
+        texts = [
+            "cats dying generously in the news",
+            "dogs lying about their skies",
+        ]
+        pages = spark.createDataFrame(
+            [(i, f"https://p2.test/{i}", t, "en") for i, t in enumerate(texts)],
+            "doc_id long, url string, text string, lang string",
+        )
+        idx = build_index(
+            spark, pages, str(tmp_path / "p2_idx"),
+            IndexConfig(stemmer="porter2", alpha=1.0, beta=1.0, build_compressed=False),
+        )
+        terms = {r["term"] for r in idx.postings.select("term").distinct().collect()}
+        assert {"cat", "die", "generous", "news", "lie", "sky"} <= terms
+        assert "dying" not in terms and "new" not in terms
+        qdf = stem_terms(
+            queries_to_df(spark, [["dying", "generously"]]), algorithm="porter2"
+        )
+        got = Q.retrieve(idx.postings, qdf, idx.params, idx.avgdl, k=1).collect()
+        assert len(got) == 1 and got[0]["doc_id"] == 0
