@@ -1663,6 +1663,182 @@ FROM mm
 )
 
 
+def q_logodds_local_hybrid(spark, sf_dir):
+    """Symmetric per-query calibrated log-odds fusion — the reference's
+    logit-space assembly family (fusion_logodds_local,
+    hybrid_beir.py:646-677): both signals calibrated as α·(s − median)
+    with per-query (median, 1/std_pop) over positive values; sigmoid
+    once at the end."""
+    from bayesian_bm25_spark.operators import fusion_ops as FO
+
+    sparse, dense = _two_signal_frames(spark, sf_dir)
+    cands = (
+        sparse.join(
+            dense.select("query_id", "doc_id", F.col("sim").alias("cos_dense")),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .withColumn("score", F.coalesce("score", F.lit(0.0)))
+        .withColumn("cos_dense", F.coalesce("cos_dense", F.lit(0.0)))
+    )
+    fused = FO.logodds_local_fusion(cands)
+    return fused.select(
+        "query_id", "doc_id", F.round("fused", 6).alias("lo_fused_r")
+    )
+
+
+_SQL_LO_CAL = """
+cal AS (
+  SELECT query_id,
+         quantile_cont(score, 0.5e0) FILTER (WHERE score > 0) AS s_med0,
+         stddev_pop(score) FILTER (WHERE score > 0) AS s_sd,
+         quantile_cont(cos_dense, 0.5e0) FILTER (WHERE cos_dense > 0) AS d_med0,
+         stddev_pop(cos_dense) FILTER (WHERE cos_dense > 0) AS d_sd
+  FROM cands GROUP BY query_id
+),
+calx AS (
+  SELECT query_id,
+         coalesce(s_med0, 0e0) AS s_med,
+         coalesce(CASE WHEN s_sd > 0e0 THEN 1e0 / s_sd END, 1e0) AS s_alpha,
+         coalesce(d_med0, 0e0) AS d_med,
+         coalesce(CASE WHEN d_sd > 0e0 THEN 1e0 / d_sd END, 1e0) AS d_alpha
+  FROM cal
+)
+"""
+
+_SQL_CLIP = "least(greatest({x}, -500e0), 500e0)"
+
+
+SQL_LOGODDS_LOCAL_HYBRID = (
+    _SQL_TWO_SIGNALS
+    + f""",
+cands AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(s.score, 0e0) AS score,
+         coalesce(d.sim, 0e0) AS cos_dense
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+{_SQL_LO_CAL},
+logits AS (
+  SELECT c.query_id, c.doc_id, c.score,
+         {_SQL_CLIP.format(x='x.d_alpha * (c.cos_dense - x.d_med)')} AS l_d,
+         {_SQL_CLIP.format(x='x.s_alpha * (c.score - x.s_med)')} AS l_s
+  FROM cands c JOIN calx x USING (query_id)
+)
+SELECT query_id, doc_id,
+       round({_SIG.format(x='CASE WHEN score > 0e0 '
+                            'THEN (0.5e0 * l_d + 0.5e0 * l_s) * sqrt(2e0) '
+                            'ELSE 0.5e0 * l_d END')}, 6) AS lo_fused_r
+FROM logits
+"""
+)
+
+
+def q_logodds_posterior_hybrid(spark, sf_dir):
+    """Full BM25 posterior assembled in LOGIT space, fused with the
+    calibrated dense signal (reference fusion_bayesian_bm25_logodds_br,
+    hybrid_beir.py:695-733, Theorem 7.1.1): logit(likelihood) +
+    logit(composite prior) + logit(base rate) summed directly — no
+    prob→logit round trip — then the weighted logit mean with the dense
+    evidence, sigmoid once."""
+    from bayesian_bm25_spark.operators import fusion_ops as FO
+
+    docs, postings, _, avgdl = _corpus_postings(spark, sf_dir)
+    sparse = Q.score_queries(
+        postings, _doc_queries(docs), prune_buckets=False
+    ).select("query_id", "doc_id", "score", "tf_match", "doc_len")
+    dense = (
+        _doc_queries(docs)
+        .select("query_id")
+        .crossJoin(docs.select("doc_id"))
+        .where((F.col("doc_id") + F.col("query_id")) % 7 < 3)
+        .withColumn(
+            "sim",
+            ((F.col("doc_id") * 31 + F.col("query_id") * 17) % 1999 - 999.0) / 999.0,
+        )
+    )
+    cands = (
+        sparse.join(
+            dense.select("query_id", "doc_id", F.col("sim").alias("cos_dense")),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .withColumn("score", F.coalesce("score", F.lit(0.0)))
+        .withColumn("tf_match", F.coalesce("tf_match", F.lit(0)))
+        .withColumn("doc_len", F.coalesce("doc_len", F.lit(0)))
+        .withColumn("cos_dense", F.coalesce("cos_dense", F.lit(0.0)))
+    )
+    fused = FO.logodds_posterior_fusion(
+        cands, alpha=P_ALPHA, beta=P_BETA, avgdl=avgdl, base_rate=P_BR
+    )
+    return fused.select(
+        "query_id", "doc_id", F.round("fused", 6).alias("lo_post_r")
+    )
+
+
+def _build_sql_logodds_posterior() -> str:
+    import math
+
+    prior = (
+        "least(greatest(0.7e0 * (0.2e0 + 0.7e0 * least(1.0e0, c.tf_match / 10.0e0))"
+        " + 0.3e0 * (0.3e0 + 0.6e0 * (1e0 - least(1.0e0,"
+        " abs(c.dl / s.avgdl - 0.5e0) * 2e0))), 0.1e0), 0.9e0)"
+    )
+    logit_base = _sql_double(math.log(P_BR / (1.0 - P_BR)))
+    logit_s = (
+        f"{P_ALPHA}e0 * (c.score - {P_BETA}e0)"
+        f" + ln(({prior}) / (1e0 - ({prior}))) + {logit_base}"
+    )
+    return f"""
+WITH {SQL_TOKS},
+dense AS (
+  SELECT q.query_id, d.doc_id,
+         ((d.doc_id * 31 + q.query_id * 17) % 1999 - 999.0e0) / 999.0e0 AS sim
+  FROM (SELECT DISTINCT query_id FROM qt) q
+  CROSS JOIN (SELECT doc_id FROM toks) d
+  WHERE (d.doc_id + q.query_id) % 7 < 3
+),
+cands AS (
+  SELECT coalesce(sc.query_id, d.query_id) AS query_id,
+         coalesce(sc.doc_id, d.doc_id) AS doc_id,
+         coalesce(sc.score, 0e0) AS score,
+         coalesce(sc.tf_match, 0) AS tf_match,
+         coalesce(sc.dl, 0) AS dl,
+         coalesce(d.sim, 0e0) AS cos_dense
+  FROM scored sc FULL OUTER JOIN dense d
+    ON sc.query_id = d.query_id AND sc.doc_id = d.doc_id
+),
+cal AS (
+  SELECT query_id,
+         quantile_cont(cos_dense, 0.5e0) FILTER (WHERE cos_dense > 0) AS d_med0,
+         stddev_pop(cos_dense) FILTER (WHERE cos_dense > 0) AS d_sd
+  FROM cands GROUP BY query_id
+),
+calx AS (
+  SELECT query_id,
+         coalesce(d_med0, 0e0) AS d_med,
+         coalesce(CASE WHEN d_sd > 0e0 THEN 1e0 / d_sd END, 1e0) AS d_alpha
+  FROM cal
+),
+logits AS (
+  SELECT c.query_id, c.doc_id, c.score,
+         {_SQL_CLIP.format(x='x.d_alpha * (c.cos_dense - x.d_med)')} AS l_d,
+         {_SQL_CLIP.format(x=logit_s)} AS l_s
+  FROM cands c JOIN calx x USING (query_id) CROSS JOIN stats s
+)
+SELECT query_id, doc_id,
+       round({_SIG.format(x='CASE WHEN score > 0e0 '
+                            'THEN (0.5e0 * l_d + 0.5e0 * l_s) * sqrt(2e0) '
+                            'ELSE 0.5e0 * l_d END')}, 6) AS lo_post_r
+FROM logits
+"""
+
+
+SQL_LOGODDS_POSTERIOR_HYBRID = _build_sql_logodds_posterior()
+
+
 def q_ndcg_bm25(spark, sf_dir):
     """NDCG@10 of the BM25 ranking against deterministic qrels:
     relevance 3 for the query's source doc, 1 for doc_id % 100 ==
@@ -1735,6 +1911,8 @@ SPARK_QUERIES.update(
         "multifield_topk": q_multifield_topk,
         "rrf_hybrid": q_rrf_hybrid,
         "convex_hybrid": q_convex_hybrid,
+        "logodds_local_hybrid": q_logodds_local_hybrid,
+        "logodds_posterior_hybrid": q_logodds_posterior_hybrid,
         "ndcg_bm25": q_ndcg_bm25,
     }
 )
@@ -1744,6 +1922,8 @@ ORACLE_SQL.update(
         "multifield_topk": SQL_MULTIFIELD_TOPK,
         "rrf_hybrid": SQL_RRF_HYBRID,
         "convex_hybrid": SQL_CONVEX_HYBRID,
+        "logodds_local_hybrid": SQL_LOGODDS_LOCAL_HYBRID,
+        "logodds_posterior_hybrid": SQL_LOGODDS_POSTERIOR_HYBRID,
         "ndcg_bm25": SQL_NDCG_BM25,
     }
 )

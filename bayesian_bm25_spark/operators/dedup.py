@@ -213,12 +213,38 @@ def simhash64(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def simhash_candidates(fp: DataFrame, prefix_bits: int = 16,
+                       n_probes: int = 1,
                        max_bucket_size: int = DEFAULT_BUCKET_CAP) -> DataFrame:
-    """(a, b) pairs sharing the top ``prefix_bits`` of the SimHash — the
-    blocked candidate generation (rotate the prefix for multi-probe).
-    Over-populated blocks are excluded (skew guard, see
-    ``cap_bucket_size``)."""
-    shifted = fp.withColumn("block", F.shiftright(F.col("simhash"), 63 - prefix_bits))
+    """(a, b) pairs sharing a ``prefix_bits`` window of the SimHash in
+    at least one of ``n_probes`` probe positions.
+
+    Multi-probe blocking (the Manku-style rotated-block scheme): probe
+    ``p`` blocks on the bit window starting ``p · prefix_bits`` below
+    the top, so a near-dup pair is found whenever SOME window is free of
+    their differing bits — with 4×16-bit windows any pair within
+    Hamming distance 3 is guaranteed a clean window.  Single-probe
+    (default) blocks on the top window only and misses pairs whose
+    differing bits happen to land there.
+
+    Rows explode to ``n_probes`` (probe-tagged) block keys; the bucket
+    cap applies per (probe, block), so the self-join blow-up stays
+    bounded per probe.  Over-populated blocks are excluded (skew guard,
+    see ``cap_bucket_size``)."""
+    if prefix_bits * 1 > 63:
+        raise ValueError("prefix_bits must be <= 63")
+    mask = (1 << prefix_bits) - 1
+    blocks = F.array(
+        *[
+            (
+                F.shiftright(
+                    F.col("simhash"), max(0, 63 - prefix_bits * (p + 1))
+                ).bitwiseAND(F.lit(mask))
+                + F.lit(p * (mask + 1))
+            ).cast("long")
+            for p in range(max(1, n_probes))
+        ]
+    )
+    shifted = fp.withColumn("block", F.explode(blocks))
     if max_bucket_size is not None:
         shifted, _ = cap_bucket_size(shifted, ["block"], max_bucket_size)
     left = shifted.alias("l")

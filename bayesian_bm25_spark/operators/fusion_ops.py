@@ -113,3 +113,114 @@ def topk_fused(fused: DataFrame, k: int = 10, col: str = "fused") -> DataFrame:
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", col)
     )
+
+
+def per_query_signal_calibration(
+    cands: DataFrame, col: str, prefix: str
+) -> DataFrame:
+    """(query_id, {prefix}_median, {prefix}_alpha): exact median and
+    1/std_pop of the POSITIVE values of ``col`` per query (reference
+    _compute_dense_calibration, hybrid_beir.py:803-812).  No positives →
+    (0, 1); zero std → alpha 1.
+
+    Per-query exact ``percentile`` is safe here: each group is one
+    query's bounded candidate set, computed on its own reducer — not
+    the single-reducer global-percentile trap."""
+    pos = cands.where(F.col(col) > 0)
+    return pos.groupBy("query_id").agg(
+        F.expr(f"percentile({col}, 0.5)").alias(f"{prefix}_median"),
+        F.when(F.stddev_pop(col) > 0, 1.0 / F.stddev_pop(col))
+        .otherwise(F.lit(1.0))
+        .alias(f"{prefix}_alpha"),
+    )
+
+
+def _clip_logit(x: F.Column, bound: float = 500.0) -> F.Column:
+    return F.least(F.greatest(x, F.lit(-bound)), F.lit(bound))
+
+
+def _join_calibrations(cands: DataFrame, *cals: tuple[DataFrame, str]) -> DataFrame:
+    """Left-join per-query calibration frames with (0, 1) fallbacks for
+    queries that had no positive rows.  The calibration frames are one
+    row per query — broadcast them."""
+    out = cands
+    for cal, prefix in cals:
+        out = (
+            out.join(F.broadcast(cal), "query_id", "left")
+            .withColumn(
+                f"{prefix}_median", F.coalesce(f"{prefix}_median", F.lit(0.0))
+            )
+            .withColumn(
+                f"{prefix}_alpha", F.coalesce(f"{prefix}_alpha", F.lit(1.0))
+            )
+        )
+    return out
+
+
+def logodds_local_fusion(
+    cands: DataFrame,
+    w_sparse: float = 0.5,
+    w_dense: float = 0.5,
+    signal_alpha: float = 0.5,
+) -> DataFrame:
+    """Symmetric per-query calibrated log-odds fusion (reference
+    fusion_logodds_local, hybrid_beir.py:646-677): BOTH signals enter
+    logit space as α·(s − median) — no prob→logit round trip — and the
+    weighted logit mean is rescaled by n_signals^signal_alpha when the
+    doc has sparse evidence (σ of the dense half alone otherwise).
+
+    ``cands``: (query_id, doc_id, score, cos_dense) zero-filled union.
+    """
+    scale = float(2**signal_alpha)
+    s_cal = per_query_signal_calibration(cands, "score", "s")
+    d_cal = per_query_signal_calibration(cands, "cos_dense", "d")
+    j = _join_calibrations(cands, (s_cal, "s"), (d_cal, "d"))
+    l_d = _clip_logit(F.col("d_alpha") * (F.col("cos_dense") - F.col("d_median")))
+    l_s = _clip_logit(F.col("s_alpha") * (F.col("score") - F.col("s_median")))
+    raw = F.when(
+        F.col("score") > 0, (w_dense * l_d + w_sparse * l_s) * scale
+    ).otherwise(w_dense * l_d)
+    return j.withColumn("fused", C.sigmoid(raw))
+
+
+def logodds_posterior_fusion(
+    cands: DataFrame,
+    alpha: float,
+    beta: float,
+    avgdl: float,
+    base_rate: float | None = None,
+    w_sparse: float = 0.5,
+    w_dense: float = 0.5,
+    signal_alpha: float = 0.5,
+) -> DataFrame:
+    """Log-odds fusion with the FULL BM25 posterior assembled directly
+    in logit space (reference fusion_bayesian_bm25_logodds[_br],
+    hybrid_beir.py:595-733, Theorem 7.1.1):
+
+        logit_sparse = clip(α·(score−β) + logit(prior) [+ logit(base_rate)])
+
+    — likelihood, composite prior, and base rate added as logits,
+    sigmoid applied ONCE at the end, avoiding the prob→logit saturation
+    round trip.  Dense is calibrated per query as in
+    ``logodds_local_fusion``.
+
+    ``cands``: (query_id, doc_id, score, tf_match, doc_len, cos_dense)
+    zero-filled union."""
+    import math
+
+    scale = float(2**signal_alpha)
+    d_cal = per_query_signal_calibration(cands, "cos_dense", "d")
+    j = _join_calibrations(cands, (d_cal, "d"))
+    prior = C.composite_prior(
+        F.col("tf_match").cast("double"),
+        F.col("doc_len").cast("double") / F.lit(float(avgdl)),
+    )
+    logit_s = alpha * (F.col("score") - F.lit(beta)) + C.logit(prior)
+    if base_rate is not None:
+        logit_s = logit_s + F.lit(math.log(base_rate / (1.0 - base_rate)))
+    l_s = _clip_logit(logit_s)
+    l_d = _clip_logit(F.col("d_alpha") * (F.col("cos_dense") - F.col("d_median")))
+    raw = F.when(
+        F.col("score") > 0, (w_dense * l_d + w_sparse * l_s) * scale
+    ).otherwise(w_dense * l_d)
+    return j.withColumn("fused", C.sigmoid(raw))

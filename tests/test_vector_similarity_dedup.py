@@ -241,6 +241,30 @@ class TestDedup:
         assert hamming(fps[0], fps[1]) == 0  # identical after normalization
         assert hamming(fps[0], fps[2]) < hamming(fps[0], fps[3])
 
+    def test_simhash_multiprobe_recovers_top_window_diffs(self, spark):
+        """A pair differing ONLY inside the top 16-bit window is missed
+        by single-probe blocking but found by multi-probe (a lower
+        window is clean) — the dedup.py multi-probe contract."""
+        base = 0x3A5A_5A5A_5A5A_5A5A
+        rows = [
+            (0, base),
+            (1, base ^ (1 << 60)),   # differs in the TOP window only
+            (2, base ^ (1 << 5)),    # differs in the BOTTOM window only
+            (3, 0x0123_4567_89AB_CDEF),  # unrelated
+        ]
+        fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+        single = {(r["a"], r["b"]) for r in DD.simhash_candidates(fp).collect()}
+        assert (0, 1) not in single          # top-window diff → missed
+        assert (0, 2) in single              # top window identical → found
+        multi = {
+            (r["a"], r["b"])
+            for r in DD.simhash_candidates(fp, n_probes=4).collect()
+        }
+        assert (0, 1) in multi               # recovered by a lower window
+        assert (0, 2) in multi
+        assert (1, 2) in multi               # Hamming 2, disjoint windows
+        assert not any(3 in p for p in multi)
+
     def test_embedding_near_dups(self, spark):
         rng = np.random.default_rng(42)
         base = rng.normal(0, 1, 16)
