@@ -145,6 +145,13 @@ def test_vector_calibrate_separates_across_gap(close, far, method):
     w = gap_weights(d)
     if w is None or w.sum() == 0 or w.sum() == len(d):
         return  # no detectable gap in this draw — property is vacuous
+    # the invariant is about the DETECTED gap: it must be the
+    # constructed inter-cluster gap (detect_gap may legitimately pick a
+    # larger gap INSIDE a spread-out far cluster — then a stray signal
+    # point near mu_G can score below a background outlier, and the
+    # cross-cluster claim doesn't apply)
+    if not np.array_equal(w, (d < min(far)).astype(np.float64)):
+        return
     t = VectorProbabilityTransform(mu_G=0.8, sigma_G=0.2, base_rate=0.05)
     p = t.calibrate(d, weights=w, method=method)
     assert np.all(p >= 1e-10 - 1e-18) and np.all(p <= 1.0 - 1e-10 + 1e-18)

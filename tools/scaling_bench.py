@@ -39,7 +39,7 @@ def make_pyfiles_zip(path: str) -> None:
 
 def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int,
               master: str | None = None, pin_cores: int | None = None,
-              executor_mem: str | None = None) -> dict:
+              executor_mem: str | None = None, tmpfs: bool = False) -> dict:
     env = dict(os.environ)
     env.update(
         {
@@ -52,6 +52,17 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int,
         env["BENCH_MASTER"] = master
     if executor_mem:
         env["BENCH_EXECUTOR_MEM"] = executor_mem
+    tmpfs_conf = []
+    if tmpfs:
+        # take the single shared local DISK out of the picture: shuffle
+        # spill (spark.local.dir) AND every parquet checkpoint (bench.py
+        # mkdtemps under TMPDIR) land on RAM-backed tmpfs — the on-box
+        # proof that the build-side scaling gap is the disk-write
+        # ceiling, not the engine
+        for d in ("/dev/shm/bb25_spark_local", "/dev/shm/bb25_tmp"):
+            os.makedirs(d, exist_ok=True)
+        env["TMPDIR"] = "/dev/shm/bb25_tmp"
+        tmpfs_conf = ["--conf", "spark.local.dir=/dev/shm/bb25_spark_local"]
     # taskset pins the WHOLE process tree (JVM task threads, GC threads,
     # Python/Arrow workers) to exactly `cores` CPUs — without it the
     # local[N] leg freeloads GC and UDF workers onto the box's idle
@@ -66,6 +77,7 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int,
             # the executor JVM heap is spark.executor.memory (default
             # 1g!) — it must be passed explicitly
             *(["--executor-memory", executor_mem] if executor_mem else []),
+            *tmpfs_conf,
             "--py-files", zip_path,
             "--driver-memory", env.get("BENCH_DRIVER_MEM", "16g"),
             os.path.join(REPO, "bench.py"),
@@ -88,6 +100,9 @@ def main() -> None:
     multi_jvm = "--multi-jvm" in args
     if multi_jvm:
         args.remove("--multi-jvm")
+    tmpfs = "--tmpfs" in args
+    if tmpfs:
+        args.remove("--tmpfs")
     n = int(args[0]) if len(args) > 0 else (1 if multi_jvm else 8)
     n_docs = int(args[1]) if len(args) > 1 else 50000
     n_queries = int(args[2]) if len(args) > 2 else 200
@@ -102,19 +117,19 @@ def main() -> None:
             (4 * n, f"local-cluster[{n},4,24576]", 4 * n + 2),
             (16 * n, f"local-cluster[{4 * n},4,24576]", 16 * n + 2),
         ]
-        print(f"running bench on {legs[0][1]}...", file=sys.stderr)
+        print(f"running bench on {legs[0][1]} (tmpfs={tmpfs})...", file=sys.stderr)
         r_n = run_bench(legs[0][0], zip_path, n_docs, n_queries,
                         master=legs[0][1], pin_cores=legs[0][2],
-                        executor_mem="20g")
-        print(f"running bench on {legs[1][1]}...", file=sys.stderr)
+                        executor_mem="20g", tmpfs=tmpfs)
+        print(f"running bench on {legs[1][1]} (tmpfs={tmpfs})...", file=sys.stderr)
         r_4n = run_bench(legs[1][0], zip_path, n_docs, n_queries,
                          master=legs[1][1], pin_cores=legs[1][2],
-                         executor_mem="20g")
+                         executor_mem="20g", tmpfs=tmpfs)
     else:
-        print(f"running bench at local[{n}]...", file=sys.stderr)
-        r_n = run_bench(n, zip_path, n_docs, n_queries)
-        print(f"running bench at local[{n4}]...", file=sys.stderr)
-        r_4n = run_bench(n4, zip_path, n_docs, n_queries)
+        print(f"running bench at local[{n}] (tmpfs={tmpfs})...", file=sys.stderr)
+        r_n = run_bench(n, zip_path, n_docs, n_queries, tmpfs=tmpfs)
+        print(f"running bench at local[{n4}] (tmpfs={tmpfs})...", file=sys.stderr)
+        r_4n = run_bench(n4, zip_path, n_docs, n_queries, tmpfs=tmpfs)
 
     build_eff = r_4n["build_docs_per_sec"] / (4 * r_n["build_docs_per_sec"])
     qps_eff = r_4n["query_qps"] / (4 * r_n["query_qps"])
@@ -194,8 +209,11 @@ Raw JSON:
 {json.dumps(r_4n)}
 ```
 """
+    suffix = "_tmpfs" if tmpfs else ""
     out_path = os.path.join(
-        REPO, "BENCH", "BASELINE_multijvm.md" if multi_jvm else "BASELINE.md"
+        REPO,
+        "BENCH",
+        f"BASELINE_multijvm{suffix}.md" if multi_jvm else f"BASELINE{suffix}.md",
     )
     with open(out_path, "w") as f:
         f.write(md)
