@@ -389,3 +389,77 @@ class TestPorter2:
         )
         got = Q.retrieve(idx.postings, qdf, idx.params, idx.avgdl, k=1).collect()
         assert len(got) == 1 and got[0]["doc_id"] == 0
+
+
+class TestEmbeddingCache:
+    """Content-addressed embedding cache (sources/embedding_cache):
+    misses-only encoding, append-safe reuse, duplicate-text dedup —
+    the Spark-native replacement for the reference's count-keyed .npz
+    cache (hybrid_beir.py:303-373).  Encoder invocations happen on
+    executors, so miss-only behavior is asserted two ways: cache-row
+    growth (dedup + append deltas) and an exploding encoder on the
+    fully-cached path."""
+
+    @staticmethod
+    def _docs(spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_cache_hit_skips_encoder_and_is_append_safe(self, spark, tmp_path):
+        import numpy as np
+
+        from bayesian_bm25_spark.sources.embedding_cache import (
+            cached_embeddings,
+            stub_encoder,
+        )
+
+        cache = str(tmp_path / "emb_cache")
+        texts = ["alpha beta", "gamma delta", "alpha beta"]  # dup text
+        enc = stub_encoder(dim=8)
+
+        def cache_rows(tag):
+            return (
+                spark.read.parquet(cache)
+                .where(f"model_tag = '{tag}'")
+                .count()
+            )
+
+        out1 = cached_embeddings(
+            spark, self._docs(spark, texts), cache, enc, "stub8"
+        ).collect()
+        assert len(out1) == 3
+        assert cache_rows("stub8") == 2  # duplicate text encoded once
+
+        def exploding(ts):
+            raise AssertionError(f"encoder called on cached texts: {list(ts)}")
+
+        out2 = {
+            r["doc_id"]: r["embedding"]
+            for r in cached_embeddings(
+                spark, self._docs(spark, texts), cache, exploding, "stub8"
+            ).collect()
+        }
+        assert len(out2) == 3
+        e1 = {r["doc_id"]: r["embedding"] for r in out1}
+        for k in e1:
+            assert np.allclose(e1[k], out2[k])
+        assert cache_rows("stub8") == 2  # hit path appended nothing
+
+        # append: one new text -> exactly one new cache row
+        out3 = cached_embeddings(
+            spark,
+            self._docs(spark, texts + ["epsilon zeta"]),
+            cache,
+            enc,
+            "stub8",
+        ).collect()
+        assert len(out3) == 4
+        assert cache_rows("stub8") == 3
+
+        # a different model_tag is a separate partition: its own rows
+        cached_embeddings(
+            spark, self._docs(spark, ["alpha beta"]), cache, enc, "other"
+        ).collect()
+        assert cache_rows("other") == 1
+        assert cache_rows("stub8") == 3
