@@ -177,39 +177,44 @@ def simhash64(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
     Each shingle votes its md5's top-64 bits ±1; the sign pattern of the
     per-bit sums is the fingerprint (top bit cleared so it fits a signed
-    long).  The fold is vectorized ACROSS the whole Arrow batch —
-    unpackbits over (total_shingles, 64), one scatter-add per batch,
-    packbits back — no per-document Python loop.
-    """
-    import pandas as pd
+    long).
+
+    ZERO-shuffle plan: ``shingles`` is an explode — a narrow op — so
+    every doc's shingle rows are already CONTIGUOUS inside one
+    partition.  The fold is ``mapInPandas`` over those contiguous runs
+    (``_run_grouped`` carries batch-spanning tails), replacing the old
+    ``groupBy(doc_id).collect_list`` which shuffled every shingle hash
+    across the cluster.  At web scale that shuffle is ~8 bytes ×
+    shingles ≈ the corpus token count — eliminating it makes the
+    fingerprint pass scan-bound.  Requires ``docs`` to carry one row
+    per doc_id (true for every corpus table here); the md5/unhex
+    projections preserve intra-partition row order."""
+    import pandas as pd  # noqa: F401
+
+    from bayesian_bm25_spark.operators.index_build import _run_grouped
 
     sh = shingles(docs, n, text_col)
     hashed = sh.select(
         "doc_id", F.unhex(F.substring(F.md5("shingle"), 1, 16)).alias("h8")
     )
-    grouped = hashed.groupBy("doc_id").agg(F.collect_list("h8").alias("hashes"))
 
     def fold(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lengths = np.array([len(hs) for hs in pdf["hashes"]], dtype=np.int64)
-            blob = b"".join(bytes(h) for hs in pdf["hashes"] for h in hs)
+        def flush(g: dict) -> dict:
+            hs = g["h8"]
+            blob = b"".join(bytes(h) for h in hs)
             bits = np.unpackbits(
                 np.frombuffer(blob, dtype=np.uint8).reshape(-1, 8), axis=1
             )
-            doc_idx = np.repeat(np.arange(len(pdf)), lengths)
-            sums = np.zeros((len(pdf), 64), dtype=np.int64)
-            np.add.at(sums, doc_idx, bits)
-            votes = 2 * sums - lengths[:, None]
-            fp_bytes = np.packbits(votes > 0, axis=1)
-            fp = fp_bytes.view(">u8").reshape(-1).astype(np.uint64)
-            fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].astype("int64"), "simhash": fp}
-            )
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(hs)
+            fp = int(np.packbits(votes > 0).view(">u8")[0])
+            return {
+                "doc_id": int(g["doc_id"][0]),
+                "simhash": fp & 0x7FFFFFFFFFFFFFFF,
+            }
 
-    return grouped.mapInPandas(fold, schema="doc_id long, simhash long")
+        yield from _run_grouped(batches, ["doc_id"], flush)
+
+    return hashed.mapInPandas(fold, schema="doc_id long, simhash long")
 
 
 def simhash_candidates(fp: DataFrame, prefix_bits: int = 16,

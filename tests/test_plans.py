@@ -115,3 +115,17 @@ class TestCodegenOnlyOperators:
             plan_idx.avgdl,
         )
         self._assert_no_python(scored)
+
+
+class TestSimhashPlan:
+    def test_simhash_fold_has_no_exchange(self, spark):
+        """simhash64 must stay a pure map-side pipeline: scan → explode
+        (narrow: a doc's shingles stay contiguous in its partition) →
+        mapInPandas fold.  A groupBy/collect_list here would shuffle
+        every shingle hash — ~the corpus token count in bytes."""
+        from bayesian_bm25_spark.operators import dedup as DD
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(DD.simhash64(docs))
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
