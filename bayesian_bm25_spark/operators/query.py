@@ -320,6 +320,40 @@ def retrieve_maxscore(
     )
 
 
+def retrieve_auto(
+    postings: DataFrame,
+    queries: DataFrame,
+    term_stats: DataFrame,
+    params: TransformParams,
+    avgdl: float,
+    n_docs: int,
+    k: int = 10,
+    n_buckets: int | None = None,
+    maxscore_min_docs: int = 250_000,
+    **maxscore_kw,
+) -> DataFrame:
+    """Cost-based routing between the exhaustive co-partitioned scan and
+    MaxScore pruning — the engine's AQE-style physical choice.
+
+    MaxScore's three extra passes (θ, essential-term gate, candidate
+    probe) cost a roughly FIXED number of distributed jobs; their
+    benefit grows with the posting volume a query batch touches.
+    Measured on Zipf batches of 200-1000 queries at 32 cores (see
+    BENCH/BASELINE.md round-3 notes): at 50k docs the single-join
+    exhaustive plan is 2-3× FASTER (the fixed passes dominate); at 1M
+    docs MaxScore is ~1.3× faster warm and ~3× faster cold (the
+    exhaustive agg spills).  The default threshold sits between the two
+    measured endpoints; tune per corpus/row-width.  Both paths are
+    rank-identical (pytest-enforced), so routing never changes
+    results."""
+    if n_docs >= maxscore_min_docs:
+        return retrieve_maxscore(
+            postings, queries, term_stats, params, avgdl,
+            k=k, n_buckets=n_buckets, **maxscore_kw,
+        )
+    return retrieve(postings, queries, params, avgdl, k=k, n_buckets=n_buckets)
+
+
 # -- WAND / BMW bound gates ---------------------------------------------
 
 

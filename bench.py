@@ -125,12 +125,24 @@ def main() -> None:
         timings["index_build"] = round(build_sec, 4)
         total += build_sec
 
+        # per-stage breakdown from the checkpoint manifests — the
+        # scaling diagnosis needs to see WHICH stage stops scaling
+        # (stage wall times overlap for the thread-parallel
+        # post-postings stages, so they don't sum to build_sec)
+        build_stages = {}
+        for stage in ("docs", "postings", "term_stats", "block_max",
+                      "segments", "posting_lists"):
+            mf = os.path.join(idx_dir, stage, "_manifest.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    build_stages[stage] = round(json.load(f)["wall_sec"], 2)
+
         spark.catalog.clearCache()
         qdf = queries_to_df(spark, generate_queries(N_DOCS, seed=42, n_queries=N_QUERIES))
         t0 = time.time()
-        res = Q.retrieve_maxscore(
+        res = Q.retrieve_auto(
             idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl,
-            k=10, n_buckets=idx.config.n_buckets,
+            n_docs=idx.n_docs, k=10, n_buckets=idx.config.n_buckets,
             # lucene impacts are provably non-negative — skip the
             # min_impact witness scan (robertson would route exhaustive)
             impacts_nonnegative=(idx.config.method != "robertson"),
@@ -156,6 +168,7 @@ def main() -> None:
         "bench_queries": N_QUERIES,
         "build_docs_per_sec": round(N_DOCS / timings["index_build"], 2),
         "query_qps": round(N_QUERIES / timings["query_top10"], 2),
+        "build_stages": build_stages,
     }
     print(json.dumps(out))
     spark.stop()

@@ -326,6 +326,25 @@ class TestMaxScore:
         p = {key(r): (r["doc_id"], r["score"], r["probability"]) for r in pruned}
         assert e == p
 
+    def test_retrieve_auto_routes_and_is_identical(self, six_index):
+        """retrieve_auto = cost-based routing; results identical on both
+        routes (the routes themselves are rank-identical, so routing
+        never changes answers)."""
+        queries = [["cat"], ["machine", "learning"]]
+        qdf = queries_to_df(six_index.spark, queries)
+        base = Q.retrieve(
+            six_index.postings, qdf, six_index.params, six_index.avgdl, k=3
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        want = {key(r): (r["doc_id"], r["score"]) for r in base}
+        for threshold in (10**9, 0):  # exhaustive route, maxscore route
+            got = Q.retrieve_auto(
+                six_index.postings, qdf, six_index.term_stats,
+                six_index.params, six_index.avgdl, n_docs=six_index.n_docs,
+                k=3, maxscore_min_docs=threshold,
+            ).collect()
+            assert {key(r): (r["doc_id"], r["score"]) for r in got} == want
+
     @pytest.fixture(scope="class")
     def zipf_idx(self, spark, tmp_path_factory):
         path = str(tmp_path_factory.mktemp("idx_zipf_ms"))
