@@ -298,6 +298,9 @@ def _build_index_impl(
     os.makedirs(path, exist_ok=True)
     t_start = time.time()
 
+    serial_phase: dict[str, float] = {}
+    t_phase = time.time()
+
     docs_dir = os.path.join(path, "docs")
     docs = ckpt.run_stage(
         spark,
@@ -306,6 +309,8 @@ def _build_index_impl(
         stage="docs",
         force=force,
     )
+    serial_phase["docs"] = round(time.time() - t_phase, 2)
+    t_phase = time.time()
 
     stats_file = os.path.join(path, "corpus_stats.json")
     if os.path.exists(stats_file) and not force:
@@ -319,6 +324,8 @@ def _build_index_impl(
         with open(stats_file, "w") as f:
             json.dump(stats, f)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    serial_phase["corpus_stats"] = round(time.time() - t_phase, 2)
+    t_phase = time.time()
 
     postings_dir = os.path.join(path, "postings")
     postings = ckpt.run_stage(
@@ -334,6 +341,7 @@ def _build_index_impl(
         # zstd build default applies only to write-once checkpoints
         compression="snappy",
     )
+    serial_phase["postings"] = round(time.time() - t_phase, 2)
 
     term_stats_dir = os.path.join(path, "term_stats")
 
@@ -383,25 +391,47 @@ def _build_index_impl(
     # checkpoint dirs, so resumability is unchanged.
     from concurrent.futures import ThreadPoolExecutor
 
+    t_group0 = time.time()
+    phase_sec: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        phase_sec[name] = round(time.time() - t0, 2)
+        return out
+
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_term_stats = pool.submit(
-            ckpt.run_stage, spark, term_stats_dir, build_term_stats,
-            stage="term_stats", inputs=[postings_dir], force=force,
+            timed, "term_stats",
+            lambda: ckpt.run_stage(
+                spark, term_stats_dir, build_term_stats,
+                stage="term_stats", inputs=[postings_dir], force=force,
+            ),
         )
         f_block_max = pool.submit(
-            ckpt.run_stage, spark, block_max_dir, build_block_max,
-            stage="block_max", inputs=[postings_dir], force=force,
+            timed, "block_max",
+            lambda: ckpt.run_stage(
+                spark, block_max_dir, build_block_max,
+                stage="block_max", inputs=[postings_dir], force=force,
+            ),
         )
         f_compressed = (
-            pool.submit(_build_compressed_lists, spark, postings, path, cfg, force)
+            pool.submit(
+                timed, "compressed_lists",
+                lambda: _build_compressed_lists(spark, postings, path, cfg, force),
+            )
             if cfg.build_compressed
             else None
         )
-        f_params = pool.submit(_estimate_params, spark, docs, postings, cfg, n_docs)
+        f_params = pool.submit(
+            timed, "params",
+            lambda: _estimate_params(spark, docs, postings, cfg, n_docs),
+        )
         term_stats = f_term_stats.result()
         block_max = f_block_max.result()
         posting_lists = f_compressed.result() if f_compressed else None
         params = f_params.result()
+    phase_sec["parallel_group"] = round(time.time() - t_group0, 2)
 
     # doc_stats is a pure projection of the docs checkpoint — derived
     # lazily, no extra stage write
@@ -422,7 +452,14 @@ def _build_index_impl(
         avgdl=avgdl,
         params=params,
         posting_lists=posting_lists,
-        build_metrics={"build_wall_sec": time.time() - t_start},
+        build_metrics={
+            "build_wall_sec": time.time() - t_start,
+            # phase attribution for the scaling diagnosis: serial prefix
+            # (docs -> corpus_stats -> postings) + the thread-parallel
+            # group (per-member walls overlap; parallel_group is its
+            # true wall)
+            "phase_sec": {**serial_phase, **phase_sec},
+        },
     )
 
 

@@ -136,6 +136,10 @@ def main() -> None:
             if os.path.exists(mf):
                 with open(mf) as f:
                     build_stages[stage] = round(json.load(f)["wall_sec"], 2)
+        build_stages.update(
+            {f"phase:{k}": v
+             for k, v in idx.build_metrics.get("phase_sec", {}).items()}
+        )
 
         spark.catalog.clearCache()
         qdf = queries_to_df(spark, generate_queries(N_DOCS, seed=42, n_queries=N_QUERIES))
