@@ -66,6 +66,10 @@ class IndexConfig:
     n_buckets: int = 32  # term-hash layout buckets (partition pruning)
     n_salts: int = 8  # salt factor for the compressed posting-list build
     build_compressed: bool = True
+    # checkpoint the intermediate segments table (old two-write layout);
+    # off = phase 1 streams into the merge through one shuffle and the
+    # compressed artifact is written once (see _build_compressed_lists)
+    checkpoint_segments: bool = False
     pseudo_query_seed: int = 42
     pseudo_query_sample: int = 50
 
@@ -537,12 +541,82 @@ def _build_compressed_lists(
     repartitions by term and stitches the (doc-disjoint) segments into
     the global list.  Both phases are Arrow-batched ``mapInPandas`` over
     partition-sorted runs: per-batch Python, per-group numpy.
-    """
+
+    By default (``cfg.checkpoint_segments = False``) phase 1 STREAMS
+    into phase 2 through one shuffle — the full compressed artifact is
+    written once (posting_lists), not twice.  The intermediate segments
+    parquet bought little resumability (it is one pass from the
+    checkpointed postings table, which remains the recovery point) and
+    cost a full write + a full MB-row scan whose 4096-row columnar
+    batches needed a session-cloned reader-batch cap to avoid executor
+    OOM.  Per-partition shuffle volume in the streamed path is
+    ~total_compressed/n_part (a few MB) and per-row size is bounded by
+    the salt split, so the merge's Arrow batches stay small without any
+    cap.  Set ``checkpoint_segments=True`` to restore the old
+    stage-per-phase layout (e.g. to inspect segments)."""
     seg_dir = os.path.join(path, "segments")
     list_dir = os.path.join(path, "posting_lists")
     # over-partition the python encode stages 4× so uneven (term, salt)
     # run lengths don't leave cores idle behind stragglers
     n_part = max(spark.sparkContext.defaultParallelism * 4, 8)
+
+    def encode_runs(batches):
+        def flush(g: dict) -> dict:
+            # rows arrive sorted by (term, salt, doc_id) already
+            payload = encode_posting_list(g["doc_id"], g["tf"], g["impact"])
+            return {
+                "term": g["term"][0],
+                "salt": int(g["salt"][0]),
+                "df_partial": len(g["doc_id"]),
+                "payload": payload,
+            }
+
+        yield from _run_grouped(batches, ["term", "salt"], flush)
+
+    def build_segments() -> DataFrame:
+        return (
+            postings.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)))
+            .repartition(n_part, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(encode_runs, schema=_SEGMENT_SCHEMA)
+        )
+
+    def merge_runs(batches):
+        def flush(g: dict) -> dict:
+            return {
+                "term": g["term"][0],
+                "df": int(g["df_partial"].sum()),
+                "payload": merge_posting_lists([bytes(x) for x in g["payload"]]),
+            }
+
+        yield from _run_grouped(batches, ["term"], flush)
+
+    def merge_of(segments: DataFrame) -> DataFrame:
+        return (
+            segments.repartition(n_part, "term")
+            .sortWithinPartitions("term", "salt")
+            .mapInPandas(merge_runs, schema=_LIST_SCHEMA)
+        )
+
+    if not cfg.checkpoint_segments:
+        # streamed path: encode → shuffle by term → merge, one write
+        return ckpt.run_stage(
+            spark,
+            list_dir,
+            lambda: merge_of(build_segments()),
+            stage="posting_lists",
+            inputs=[os.path.join(path, "postings")],
+            force=force,
+        )
+
+    ckpt.run_stage(
+        spark,
+        seg_dir,
+        build_segments,
+        stage="segments",
+        inputs=[os.path.join(path, "postings")],
+        force=force,
+    )
 
     # the segments table has MB-sized BINARY payload rows (a hot term's
     # compressed list); the vectorized parquet reader's default 4096-row
@@ -568,80 +642,17 @@ def _build_compressed_lists(
         if v is not None:
             merge_spark.conf.set(k, v)
     merge_spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
-    _build_compressed_stages(
-        spark, merge_spark, postings, path, cfg, force, seg_dir, list_dir, n_part
-    )
-    # hand the checkpoint back on the caller's session so downstream
-    # lineage never references the clone
-    return spark.read.parquet(list_dir)
-
-
-def _build_compressed_stages(
-    spark: SparkSession,
-    merge_spark: SparkSession,
-    postings: DataFrame,
-    path: str,
-    cfg: IndexConfig,
-    force: bool,
-    seg_dir: str,
-    list_dir: str,
-    n_part: int,
-) -> DataFrame:
-
-    def encode_runs(batches):
-        def flush(g: dict) -> dict:
-            # rows arrive sorted by (term, salt, doc_id) already
-            payload = encode_posting_list(g["doc_id"], g["tf"], g["impact"])
-            return {
-                "term": g["term"][0],
-                "salt": int(g["salt"][0]),
-                "df_partial": len(g["doc_id"]),
-                "payload": payload,
-            }
-
-        yield from _run_grouped(batches, ["term", "salt"], flush)
-
-    def build_segments() -> DataFrame:
-        return (
-            postings.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)))
-            .repartition(n_part, "term", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(encode_runs, schema=_SEGMENT_SCHEMA)
-        )
-
     ckpt.run_stage(
-        spark,
-        seg_dir,
-        build_segments,
-        stage="segments",
-        inputs=[os.path.join(path, "postings")],
-        force=force,
-    )
-
-    def merge_runs(batches):
-        def flush(g: dict) -> dict:
-            return {
-                "term": g["term"][0],
-                "df": int(g["df_partial"].sum()),
-                "payload": merge_posting_lists([bytes(x) for x in g["payload"]]),
-            }
-
-        yield from _run_grouped(batches, ["term"], flush)
-
-    # the merge scan of the MB-row segments table runs on merge_spark
-    # (batch-capped clone — see _build_compressed_lists); re-reading
-    # seg_dir through it keeps the cap scan-local
-    return ckpt.run_stage(
         merge_spark,
         list_dir,
-        lambda: merge_spark.read.parquet(seg_dir)
-        .repartition(n_part, "term")
-        .sortWithinPartitions("term", "salt")
-        .mapInPandas(merge_runs, schema=_LIST_SCHEMA),
+        lambda: merge_of(merge_spark.read.parquet(seg_dir)),
         stage="posting_lists",
         inputs=[seg_dir],
         force=force,
     )
+    # hand the checkpoint back on the caller's session so downstream
+    # lineage never references the clone
+    return spark.read.parquet(list_dir)
 
 
 def _estimate_params(

@@ -72,6 +72,31 @@ class TestBuild:
         after = {k: spark.conf.get(k, None) for k in keys}
         assert after == before
 
+    def test_streamed_compressed_lists_equal_checkpointed(self, spark, tmp_path):
+        """The default streamed codec path (phase 1 → shuffle → merge,
+        one write) must produce byte-identical posting lists to the old
+        two-checkpoint layout (checkpoint_segments=True)."""
+        import os
+
+        pages = pages_df_from_texts(spark, SIX_DOCS)
+        cfg = dict(alpha=1.0, beta=1.0)
+        a = build_index(
+            spark, pages, str(tmp_path / "pl_stream"),
+            IndexConfig(checkpoint_segments=False, **cfg),
+        )
+        b = build_index(
+            spark, pages, str(tmp_path / "pl_ckpt"),
+            IndexConfig(checkpoint_segments=True, **cfg),
+        )
+        rows_a = {(r["term"], r["df"], bytes(r["payload"]))
+                  for r in a.posting_lists.collect()}
+        rows_b = {(r["term"], r["df"], bytes(r["payload"]))
+                  for r in b.posting_lists.collect()}
+        assert rows_a == rows_b and len(rows_a) > 0
+        # streamed path writes no segments dir; checkpointed path does
+        assert not os.path.exists(str(tmp_path / "pl_stream" / "segments"))
+        assert os.path.exists(str(tmp_path / "pl_ckpt" / "segments"))
+
     def test_corpus_stats(self, six_index):
         corpus = [tokenize(d) for d in SIX_DOCS]
         assert six_index.n_docs == 6
