@@ -11,9 +11,11 @@ the build resumes from any boundary — north rule):
                     term_bucket = pmod(xxhash64(term), n_buckets)
       └─ term_stats: df / max_impact per term        (from postings)
       └─ block_max:  per-(term, block) max impact    (BMW bound table)
-      └─ segments/posting_lists: salted groupBy(term, salt) →
-                    sorted delta+varbyte segments → merge stage  [north
-                    rule storage tier; queries default to flat postings]
+      └─ posting_lists: salted groupBy(term, salt) → sorted delta+
+                    varbyte segments STREAMED through one shuffle into
+                    the term merge (one write; checkpoint_segments=True
+                    restores the two-stage layout)  [north rule storage
+                    tier; queries default to flat postings]
       └─ params.json: seeded pseudo-query sampling → α/β/base-rate on
                     the driver (numpy-exact, mirrors reference protocol)
 
