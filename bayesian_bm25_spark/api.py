@@ -155,20 +155,24 @@ class BayesianBM25Scorer:
         missing ranks hold (-1, 0.0), mirroring no-match behavior."""
         self._require()
         qdf = self._maybe_stem(queries_to_df(self.spark, query_tokens))
-        res = Q.retrieve(
-            self._index.postings, qdf, self._index.params, self._index.avgdl,
-            k=k, n_buckets=self._index.config.n_buckets,
-        )
+        res = self._route(qdf, k)
         return _collect_topk(res, len(query_tokens), k, "probability")
+
+    def _route(self, qdf: DataFrame, k: int) -> DataFrame:
+        """Cost-based physical choice (query.retrieve_auto): exhaustive
+        co-partitioned scan on small corpora, MaxScore pruning past the
+        measured crossover — rank-identical either way."""
+        idx = self._index
+        return Q.retrieve_auto(
+            idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl,
+            n_docs=idx.n_docs, k=k, n_buckets=idx.config.n_buckets,
+            impacts_nonnegative=(idx.config.method != "robertson"),
+        )
 
     def retrieve_df(self, queries: DataFrame, k: int = 10) -> DataFrame:
         """DataFrame-native retrieval (the path to use at scale)."""
         self._require()
-        return Q.retrieve(
-            self._index.postings, self._maybe_stem(queries),
-            self._index.params, self._index.avgdl,
-            k=k, n_buckets=self._index.config.n_buckets,
-        )
+        return self._route(self._maybe_stem(queries), k)
 
     def get_probabilities(self, query_tokens: list[str]) -> np.ndarray:
         """Dense per-doc probabilities for one query (reference
