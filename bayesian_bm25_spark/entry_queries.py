@@ -1839,6 +1839,132 @@ FROM logits
 SQL_LOGODDS_POSTERIOR_HYBRID = _build_sql_logodds_posterior()
 
 
+def q_vpt_balanced_hybrid(spark, sf_dir):
+    """Std-ratio-balanced additive log-odds fusion over κ-calibrated
+    dense probabilities (reference fusion_vpt_balanced +
+    _global_kappa_calibrate, hybrid_beir.py:739-848): sparse = Platt(σ),
+    dense = σ(κ(β − d)) with corpus-global (median, 1/std) of the
+    distance d = 1 − cos; per-query logit stds scale the dense side."""
+    from bayesian_bm25_spark.operators import fusion_ops as FO
+
+    sparse, dense = _two_signal_frames(spark, sf_dir)
+    cands = (
+        sparse.join(
+            dense.select("query_id", "doc_id", F.col("sim").alias("cos_dense")),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .withColumn("score", F.coalesce("score", F.lit(0.0)))
+        .withColumn("cos_dense", F.coalesce("cos_dense", F.lit(0.0)))
+        .withColumn("p_sparse", C.platt(F.col("score"), 1.0, -1.0))
+        .withColumn("distance", 1.0 - F.col("cos_dense"))
+    )
+    fused = FO.vpt_balanced_fusion(FO.kappa_calibrate(cands))
+    return fused.select(
+        "query_id", "doc_id", F.round("fused", 6).alias("vpt_fused_r")
+    )
+
+
+def _build_sql_vpt_balanced() -> str:
+    cp = lambda e: f"least(greatest({e}, 1e-10), 1e0 - 1e-10)"  # noqa: E731
+    c12 = lambda e: f"least(greatest({e}, -12e0), 12e0)"  # noqa: E731
+    lg = lambda p: f"ln(({cp(p)}) / (1e0 - ({cp(p)})))"  # noqa: E731
+    return (
+        _SQL_TWO_SIGNALS
+        + f""",
+cands AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         {_SIG.format(x='1.0e0 * coalesce(s.score, 0e0) + -1.0e0')} AS p_sparse,
+         1e0 - coalesce(d.sim, 0e0) AS dist
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+g AS (
+  SELECT quantile_cont(dist, 0.5e0) AS beta_g,
+         coalesce(CASE WHEN stddev_pop(dist) > 1e-12
+                       THEN 1e0 / stddev_pop(dist) END, 1e0) AS kappa_g
+  FROM cands
+),
+logits AS (
+  SELECT query_id, doc_id,
+         {c12(lg('p_sparse'))} AS ls,
+         {c12(lg(_SIG.format(x='g.kappa_g * (g.beta_g - dist)')))} AS ld
+  FROM cands CROSS JOIN g
+),
+scaled AS (
+  SELECT query_id, doc_id, ls, ld,
+         greatest(stddev_pop(ls) OVER (PARTITION BY query_id), 1e-6) AS ss,
+         greatest(stddev_pop(ld) OVER (PARTITION BY query_id), 1e-6) AS sd
+  FROM logits
+)
+SELECT query_id, doc_id,
+       round({_SIG.format(x=c12('ls + least(1e0, ss / sd) * ld'))}, 6)
+         AS vpt_fused_r
+FROM scaled
+"""
+    )
+
+
+SQL_VPT_BALANCED_HYBRID = _build_sql_vpt_balanced()
+
+
+def q_arctan_or_hybrid(spark, sf_dir):
+    """Probabilistic-OR hybrid with the arctan dense-calibration
+    baseline (reference fusion_bayesian_bm25_or, hybrid_beir.py:584-591
+    + _arctan_normalize, :744-752, Paper 3 §8.2): dense candidates are
+    the POSITIVE-sim set, p_dense = (2/π)·atan(5·sim); fused =
+    1 − (1−p_sparse)(1−p_dense) over the candidate union."""
+    from bayesian_bm25_spark.operators import fusion_ops as FO
+
+    sparse, dense = _two_signal_frames(spark, sf_dir)
+    cands = (
+        sparse.withColumn("p_sparse", C.platt(F.col("score"), 1.0, -1.0))
+        .select("query_id", "doc_id", "p_sparse")
+        .join(
+            dense.where(F.col("sim") > 0).select(
+                "query_id", "doc_id", F.col("sim").alias("cos_dense")
+            ),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .withColumn("p_sparse", F.coalesce("p_sparse", F.lit(0.0)))
+        .withColumn("cos_dense", F.coalesce("cos_dense", F.lit(0.0)))
+        .withColumn("p_dense", FO.arctan_normalize(F.col("cos_dense")))
+    )
+    fused = cands.withColumn(
+        "fused", 1.0 - (1.0 - F.col("p_sparse")) * (1.0 - F.col("p_dense"))
+    )
+    return fused.select(
+        "query_id", "doc_id", F.round("fused", 6).alias("or_fused_r")
+    )
+
+
+def _build_sql_arctan_or() -> str:
+    import math
+
+    two_over_pi = _sql_double(2.0 / math.pi)
+    return (
+        _SQL_TWO_SIGNALS
+        + f""",
+cands AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce({_SIG.format(x='1.0e0 * s.score + -1.0e0')}, 0e0) AS p_sparse,
+         {two_over_pi} * atan(5e0 * coalesce(d.sim, 0e0)) AS p_dense
+  FROM sparse s FULL OUTER JOIN (SELECT * FROM dense WHERE sim > 0e0) d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id,
+       round(1e0 - (1e0 - p_sparse) * (1e0 - p_dense), 6) AS or_fused_r
+FROM cands
+"""
+    )
+
+
+SQL_ARCTAN_OR_HYBRID = _build_sql_arctan_or()
+
+
 def q_ndcg_bm25(spark, sf_dir):
     """NDCG@10 of the BM25 ranking against deterministic qrels:
     relevance 3 for the query's source doc, 1 for doc_id % 100 ==
@@ -1913,6 +2039,8 @@ SPARK_QUERIES.update(
         "convex_hybrid": q_convex_hybrid,
         "logodds_local_hybrid": q_logodds_local_hybrid,
         "logodds_posterior_hybrid": q_logodds_posterior_hybrid,
+        "vpt_balanced_hybrid": q_vpt_balanced_hybrid,
+        "arctan_or_hybrid": q_arctan_or_hybrid,
         "ndcg_bm25": q_ndcg_bm25,
     }
 )
@@ -1924,6 +2052,8 @@ ORACLE_SQL.update(
         "convex_hybrid": SQL_CONVEX_HYBRID,
         "logodds_local_hybrid": SQL_LOGODDS_LOCAL_HYBRID,
         "logodds_posterior_hybrid": SQL_LOGODDS_POSTERIOR_HYBRID,
+        "vpt_balanced_hybrid": SQL_VPT_BALANCED_HYBRID,
+        "arctan_or_hybrid": SQL_ARCTAN_OR_HYBRID,
         "ndcg_bm25": SQL_NDCG_BM25,
     }
 )

@@ -224,3 +224,59 @@ def logodds_posterior_fusion(
         F.col("score") > 0, (w_dense * l_d + w_sparse * l_s) * scale
     ).otherwise(w_dense * l_d)
     return j.withColumn("fused", C.sigmoid(raw))
+
+
+def kappa_calibrate(cands: DataFrame, dist_col: str = "distance",
+                    out_col: str = "p_dense") -> DataFrame:
+    """Global sigmoid calibration of cosine DISTANCES (reference
+    _global_kappa_calibrate, hybrid_beir.py:739-768, Paper 3 §8.4
+    Stage 1): P = σ(κ·(β − d)) with β = corpus median(d), κ = 1/std_pop(d)
+    (1.0 when std ≤ 1e-12).  β and κ are two driver-held floats
+    (fit_background style); the exact median uses the DISTRIBUTED
+    bracketed two-pass (operators.stats.exact_percentile) — never
+    Spark's single-reducer global ``percentile``."""
+    from bayesian_bm25_spark.operators.stats import exact_percentile
+
+    beta = exact_percentile(cands.select(dist_col), dist_col, 0.5)
+    sd_row = cands.agg(F.stddev_pop(dist_col)).collect()[0][0]
+    sd = float(sd_row) if sd_row is not None else 0.0
+    kappa = 1.0 / sd if sd > 1e-12 else 1.0
+    return cands.withColumn(
+        out_col, C.sigmoid(F.lit(kappa) * (F.lit(beta) - F.col(dist_col)))
+    )
+
+
+def arctan_normalize(score: F.Column, alpha: float = 5.0) -> F.Column:
+    """p = (2/π)·arctan(α·s) — the reference's arctan dense-calibration
+    baseline (hybrid_beir.py:744-752, Paper 3 §8.2)."""
+    import math
+
+    return (2.0 / math.pi) * F.atan(alpha * score)
+
+
+def vpt_balanced_fusion(
+    cands: DataFrame,
+    sparse_col: str = "p_sparse",
+    dense_col: str = "p_dense",
+    sparse_weight: float = 1.0,
+    dense_weight: float = 1.0,
+    max_logit: float = 12.0,
+) -> DataFrame:
+    """Std-ratio-balanced additive log-odds fusion (reference
+    fusion_vpt_balanced, hybrid_beir.py:814-848): clamp both logits to
+    ±max_logit, scale the dense side by min(1, std(l_sparse)/std(l_dense))
+    per query, add, sigmoid.  The per-query stds are window aggregates
+    over the candidate set (floored at 1e-6)."""
+    ls = F.greatest(
+        F.least(C.logit(F.col(sparse_col)), F.lit(max_logit)), F.lit(-max_logit)
+    )
+    ld = F.greatest(
+        F.least(C.logit(F.col(dense_col)), F.lit(max_logit)), F.lit(-max_logit)
+    )
+    w = Window.partitionBy("query_id")
+    ss = F.greatest(F.stddev_pop(ls).over(w), F.lit(1e-6))
+    sd = F.greatest(F.stddev_pop(ld).over(w), F.lit(1e-6))
+    scale = dense_weight * F.least(F.lit(1.0), ss / sd)
+    fused_logit = sparse_weight * ls + scale * ld
+    clipped = F.greatest(F.least(fused_logit, F.lit(max_logit)), F.lit(-max_logit))
+    return cands.withColumn("fused", C.sigmoid(clipped))
