@@ -114,6 +114,24 @@ def evaluate_fusion_matrix(
         ),
         "balanced": FO.topk_fused(FO.balanced_fusion(cands), k=k),
         "logodds_local": FO.topk_fused(FO.logodds_local_fusion(cands), k=k),
+        "vpt_balanced": FO.topk_fused(
+            FO.vpt_balanced_fusion(
+                FO.kappa_calibrate(
+                    cands.withColumn("distance", 1.0 - F.col("cos_dense"))
+                )
+            ),
+            k=k,
+        ),
+        "arctan_or": FO.topk_fused(
+            cands.withColumn(
+                "p_dense",
+                FO.arctan_normalize(F.greatest(F.col("cos_dense"), F.lit(0.0))),
+            ).withColumn(
+                "fused",
+                1.0 - (1.0 - F.col("p_sparse")) * (1.0 - F.col("p_dense")),
+            ),
+            k=k,
+        ),
     }
 
     out: dict[str, dict[str, float]] = {}

@@ -26,6 +26,7 @@ class TestQualityHarness:
     def test_all_methods_present_and_bounded(self, quality_results):
         assert set(quality_results) == {
             "bm25", "dense", "convex", "rrf", "balanced", "logodds_local",
+            "vpt_balanced", "arctan_or",
         }
         for m in quality_results.values():
             assert 0.0 <= m["ndcg"] <= 1.0
