@@ -155,10 +155,25 @@ class BayesianBM25Scorer:
         missing ranks hold (-1, 0.0), mirroring no-match behavior."""
         self._require()
         qdf = self._maybe_stem(queries_to_df(self.spark, query_tokens))
-        res = self._route(qdf, k)
+        res = self._route(qdf, k, driver_terms=self._driver_terms(query_tokens))
         return _collect_topk(res, len(query_tokens), k, "probability")
 
-    def _route(self, qdf: DataFrame, k: int) -> DataFrame:
+    def _driver_terms(self, query_tokens: list[list[str]]) -> list[str]:
+        """Flat post-stemming term list for driver-side bucket pruning —
+        stems with the SAME pure-Python function the Spark pandas UDF
+        wraps, so the bucket set exactly matches the distributed terms
+        (no Spark job spent learning which partitions to scan)."""
+        terms = {t for q in query_tokens for t in q}
+        if self._index.config.stemmer is not None:
+            from bayesian_bm25_spark.functions.stemmer import resolve_stemmer
+
+            stem = resolve_stemmer(self._index.config.stemmer)
+            terms = {stem(t) for t in terms}
+        return sorted(terms)
+
+    def _route(
+        self, qdf: DataFrame, k: int, driver_terms: list[str] | None = None
+    ) -> DataFrame:
         """Cost-based physical choice (query.retrieve_auto): exhaustive
         co-partitioned scan on small corpora, MaxScore pruning past the
         measured crossover — rank-identical either way."""
@@ -167,6 +182,7 @@ class BayesianBM25Scorer:
             idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl,
             n_docs=idx.n_docs, k=k, n_buckets=idx.config.n_buckets,
             impacts_nonnegative=(idx.config.method != "robertson"),
+            driver_terms=driver_terms,
         )
 
     def retrieve_df(self, queries: DataFrame, k: int = 10) -> DataFrame:

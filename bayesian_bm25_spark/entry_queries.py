@@ -1103,7 +1103,10 @@ def build_sql_ivf_topk(sf_dir: str | None = None) -> str:
 
     Parity contract: centroids are L2-normalized, so argmax dot ==
     argmax cosine; both engines accumulate in float64 over float32
-    values; ranks order by round(sim, 6) DESC, vec_id ASC."""
+    values AND round cell-decision dots to 9 decimals before the
+    argmax/row_number (1-ulp blocked-vs-sequential summation drift on a
+    near-tie must not flip a probe set); ranks order by
+    round(sim, 6) DESC, vec_id ASC."""
     import os
 
     import duckdb
@@ -1135,7 +1138,7 @@ assigned AS (
   SELECT vec_id, e, cell_id FROM (
     SELECT vec_id, e, cell_id,
            row_number() OVER (PARTITION BY vec_id
-                              ORDER BY list_dot_product(e, cv) DESC, cell_id ASC) AS rc
+                              ORDER BY round(list_dot_product(e, cv), 9) DESC, cell_id ASC) AS rc
     FROM emb CROSS JOIN cent
   ) WHERE rc = 1
 ),
@@ -1147,7 +1150,7 @@ probe AS (
   SELECT query_id, q, cell_id FROM (
     SELECT query_id, q, cell_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY list_dot_product(q, cv) DESC, cell_id ASC) AS rc
+                              ORDER BY round(list_dot_product(q, cv), 9) DESC, cell_id ASC) AS rc
     FROM queries CROSS JOIN cent
   ) WHERE rc <= 4
 ),
@@ -1911,10 +1914,18 @@ SQL_VPT_BALANCED_HYBRID = _build_sql_vpt_balanced()
 
 def q_arctan_or_hybrid(spark, sf_dir):
     """Probabilistic-OR hybrid with the arctan dense-calibration
-    baseline (reference fusion_bayesian_bm25_or, hybrid_beir.py:584-591
-    + _arctan_normalize, :744-752, Paper 3 §8.2): dense candidates are
-    the POSITIVE-sim set, p_dense = (2/π)·atan(5·sim); fused =
-    1 − (1−p_sparse)(1−p_dense) over the candidate union."""
+    baseline: dense candidates are the POSITIVE-sim set,
+    p_dense = (2/π)·atan(5·sim); fused = 1 − (1−p_sparse)(1−p_dense)
+    over the candidate union.
+
+    NOTE — deliberate composed VARIANT, not a reproduction: the
+    reference's fusion_bayesian_bm25_or (hybrid_beir.py:584-591)
+    converts dense sim with cosine_to_probability (1+s)/2 (Definition
+    7.1.2); this entry substitutes the _arctan_normalize baseline
+    (hybrid_beir.py:744-752, Paper 3 §8.2) for the dense leg, so its
+    quality numbers are NOT comparable to the reference's OR-fusion
+    column.  The faithful (1+s)/2 OR composition is ``cosine_or_hybrid``
+    (same OR algebra, cosine_to_probability dense leg)."""
     from bayesian_bm25_spark.operators import fusion_ops as FO
 
     sparse, dense = _two_signal_frames(spark, sf_dir)
@@ -1963,6 +1974,53 @@ FROM cands
 
 
 SQL_ARCTAN_OR_HYBRID = _build_sql_arctan_or()
+
+
+def q_cosine_or_hybrid(spark, sf_dir):
+    """FAITHFUL probabilistic-OR hybrid (reference
+    fusion_bayesian_bm25_or, hybrid_beir.py:584-591): the dense leg is
+    cosine_to_probability clamp((1+s)/2) (Definition 7.1.2), missing
+    candidate sims fill with 0 (→ p_dense = 0.5), exactly the
+    reference's candidate-array semantics; fused =
+    1 − (1−p_sparse)(1−p_dense) over the candidate union.  This is the
+    reproduction counterpart of the ``arctan_or_hybrid`` variant."""
+    sparse, dense = _two_signal_frames(spark, sf_dir)
+    cands = (
+        sparse.withColumn("p_sparse", C.platt(F.col("score"), 1.0, -1.0))
+        .select("query_id", "doc_id", "p_sparse")
+        .join(
+            dense.select("query_id", "doc_id", F.col("sim").alias("cos_dense")),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .withColumn("p_sparse", F.coalesce("p_sparse", F.lit(0.0)))
+        .withColumn("cos_dense", F.coalesce("cos_dense", F.lit(0.0)))
+        .withColumn("p_dense", C.cosine_to_probability(F.col("cos_dense")))
+    )
+    fused = cands.withColumn(
+        "fused", 1.0 - (1.0 - F.col("p_sparse")) * (1.0 - F.col("p_dense"))
+    )
+    return fused.select(
+        "query_id", "doc_id", F.round("fused", 6).alias("or_fused_r")
+    )
+
+
+SQL_COSINE_OR_HYBRID = (
+    _SQL_TWO_SIGNALS
+    + f""",
+cands AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce({_SIG.format(x='1.0e0 * s.score + -1.0e0')}, 0e0) AS p_sparse,
+         least(1e0, greatest(0e0, (1e0 + coalesce(d.sim, 0e0)) / 2e0)) AS p_dense
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id,
+       round(1e0 - (1e0 - p_sparse) * (1e0 - p_dense), 6) AS or_fused_r
+FROM cands
+"""
+)
 
 
 def q_ndcg_bm25(spark, sf_dir):
@@ -2041,6 +2099,7 @@ SPARK_QUERIES.update(
         "logodds_posterior_hybrid": q_logodds_posterior_hybrid,
         "vpt_balanced_hybrid": q_vpt_balanced_hybrid,
         "arctan_or_hybrid": q_arctan_or_hybrid,
+        "cosine_or_hybrid": q_cosine_or_hybrid,
         "ndcg_bm25": q_ndcg_bm25,
     }
 )
@@ -2054,6 +2113,7 @@ ORACLE_SQL.update(
         "logodds_posterior_hybrid": SQL_LOGODDS_POSTERIOR_HYBRID,
         "vpt_balanced_hybrid": SQL_VPT_BALANCED_HYBRID,
         "arctan_or_hybrid": SQL_ARCTAN_OR_HYBRID,
+        "cosine_or_hybrid": SQL_COSINE_OR_HYBRID,
         "ndcg_bm25": SQL_NDCG_BM25,
     }
 )

@@ -80,13 +80,17 @@ def cell_assign_udf(centroids: np.ndarray):
     argmax dot == argmax cosine and the row vectors need no per-row
     normalization.  Accumulation is float64 over the float32-valued
     inputs — the same IEEE-double math an external SQL oracle computes
-    when the centroid values are inlined as literals."""
+    when the centroid values are inlined as literals.  Dots are rounded
+    to 9 decimals BEFORE the argmax: blocked-BLAS summation can drift
+    1 ulp from an oracle's sequential fold, and an unrounded near-tie
+    would then flip the cell decision between engines (the same
+    contract vector_background_fit uses for its argmax)."""
     cent = np.asarray(centroids, dtype=np.float32).astype(np.float64)
 
     @pandas_udf("int")
     def cell_of(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64)
-        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+        return pd.Series(np.argmax(np.round(m @ cent.T, 9), axis=1).astype(np.int32))
 
     return cell_of
 

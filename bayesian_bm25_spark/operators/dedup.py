@@ -224,29 +224,45 @@ def simhash_candidates(fp: DataFrame, prefix_bits: int = 16,
     at least one of ``n_probes`` probe positions.
 
     Multi-probe blocking (the Manku-style rotated-block scheme): probe
-    ``p`` blocks on the bit window starting ``p · prefix_bits`` below
-    the top, so a near-dup pair is found whenever SOME window is free of
-    their differing bits — with 4×16-bit windows any pair within
-    Hamming distance 3 is guaranteed a clean window.  Single-probe
-    (default) blocks on the top window only and misses pairs whose
-    differing bits happen to land there.
+    ``p`` blocks on the ``prefix_bits``-wide window starting
+    ``p · prefix_bits`` below bit 62 (only 63 bits are usable — the top
+    bit is cleared so the fingerprint fits a signed long).  The windows
+    are DISJOINT, so by pigeonhole a pair within Hamming distance
+    ``n_probes - 1`` always has at least one window free of differing
+    bits → guaranteed a shared block key.  (Differing bits BELOW the
+    covered span leave every window clean — harmless for recall.)
+    With the defaults for multi-probe use, 4×15-bit windows guarantee
+    Hamming ≤ 3.  Single-probe (default) blocks on the top window only
+    and misses pairs whose differing bits happen to land there.
+
+    ``n_probes · prefix_bits`` must fit the 63 usable bits — overlapping
+    (clamped) windows would silently weaken the guarantee and duplicate
+    self-join work, so that's an error, not a fallback.
 
     Rows explode to ``n_probes`` (probe-tagged) block keys; the bucket
     cap applies per (probe, block), so the self-join blow-up stays
     bounded per probe.  Over-populated blocks are excluded (skew guard,
     see ``cap_bucket_size``)."""
-    if prefix_bits * 1 > 63:
-        raise ValueError("prefix_bits must be <= 63")
+    if not 1 <= prefix_bits <= 63:
+        raise ValueError("prefix_bits must be in [1, 63]")
+    n_probes = max(1, n_probes)
+    if n_probes * prefix_bits > 63:
+        raise ValueError(
+            f"n_probes * prefix_bits = {n_probes * prefix_bits} exceeds the "
+            "63 usable SimHash bits — windows would overlap and the "
+            "Hamming-distance recall guarantee would not hold (use e.g. "
+            "4 probes x 15 bits)"
+        )
     mask = (1 << prefix_bits) - 1
     blocks = F.array(
         *[
             (
                 F.shiftright(
-                    F.col("simhash"), max(0, 63 - prefix_bits * (p + 1))
+                    F.col("simhash"), 63 - prefix_bits * (p + 1)
                 ).bitwiseAND(F.lit(mask))
                 + F.lit(p * (mask + 1))
             ).cast("long")
-            for p in range(max(1, n_probes))
+            for p in range(n_probes)
         ]
     )
     shifted = fp.withColumn("block", F.explode(blocks))

@@ -126,6 +126,17 @@ def assign_doc_ids(
     the count job and the id job read the SAME materialized partitions
     even when the upstream relation is nondeterministic (json scans,
     joins, samples — e.g. the BEIR loader's output).
+
+    TRADEOFF: localCheckpoint stores blocks on executors with lineage
+    truncated — an executor lost between the count job and the id job
+    fails the build (non-recomputable blocks), and the materialized
+    corpus occupies executor memory/disk for the window between the two
+    jobs.  That's the right default here: the window is one short job,
+    and the failure mode is a clean retryable error, never silent id
+    skew.  For very large builds on preemptible clusters, write the
+    range-partitioned frame to the index work dir (a reliable
+    checkpoint) instead — same two-job protocol, recoverable blocks —
+    at the cost of a full corpus write+read.
     """
     import numpy as np
     import pandas as pd
@@ -407,6 +418,14 @@ def _build_index_impl(
         return out
 
     with ThreadPoolExecutor(max_workers=4) as pool:
+        # params first: its chain (score 50 pseudo-queries → cache →
+        # several small percentile/agg jobs) has the longest tail of
+        # sequential driver round-trips, so giving it first claim on the
+        # FIFO scheduler lets that tail overlap the three bulk stages
+        f_params = pool.submit(
+            timed, "params",
+            lambda: _estimate_params(spark, docs, postings, cfg, n_docs),
+        )
         f_term_stats = pool.submit(
             timed, "term_stats",
             lambda: ckpt.run_stage(
@@ -428,10 +447,6 @@ def _build_index_impl(
             )
             if cfg.build_compressed
             else None
-        )
-        f_params = pool.submit(
-            timed, "params",
-            lambda: _estimate_params(spark, docs, postings, cfg, n_docs),
         )
         term_stats = f_term_stats.result()
         block_max = f_block_max.result()
@@ -691,7 +706,18 @@ def _estimate_params(
     if not queries:
         return TransformParams(alpha=cfg.alpha or 1.0, beta=cfg.beta or 0.0)
     qdf = spark.createDataFrame(queries, schema="query_id long, terms array<string>")
-    scored = Q.score_queries(postings, qdf, prune_buckets=False).where(F.col("score") > 0)
+    # co_partition=False is deliberate: the default query plan repartitions
+    # the WHOLE postings table by doc_id before the broadcast join — right
+    # for large query batches (moves |postings| once instead of the joined
+    # blow-up), wrong here where only ~250 pseudo-query terms match.  A
+    # plain broadcast join touches just the matched rows, so the params
+    # phase costs O(Σ df over query terms) instead of a full-corpus
+    # shuffle — this was the critical-path phase of the entire build at
+    # 1M docs (183s of a 183s parallel-group wall).
+    scored = Q.score_queries(
+        postings, qdf, n_buckets=cfg.n_buckets, co_partition=False,
+        driver_terms=sorted({t for _, ts in queries for t in ts}),
+    ).where(F.col("score") > 0)
 
     if cfg.base_rate_method == "percentile" or cfg.base_rate != "auto":
         # fully distributed path: β = exact median, α = 1/std_pop of the

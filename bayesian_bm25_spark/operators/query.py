@@ -45,18 +45,34 @@ def query_terms(queries: DataFrame) -> DataFrame:
     )
 
 
-def prune_query_terms_buckets(postings: DataFrame, qterms: DataFrame, n_buckets: int) -> DataFrame:
+def prune_query_terms_buckets(
+    postings: DataFrame,
+    qterms: DataFrame,
+    n_buckets: int,
+    driver_terms: list[str] | None = None,
+) -> DataFrame:
     """Partition-prune the postings scan to buckets containing query terms.
+
+    With ``driver_terms`` (the facade path — query tokens already live on
+    the driver) the bucket set is computed locally via the pure-Python
+    replica of Spark's xxhash64 (functions/xxhash.py, golden-tested) —
+    zero Spark jobs.  Without it, one tiny blocking job over the
+    (driver-created) query relation learns the buckets.
 
     Large query batches hit every bucket (a 1000-query Zipf batch covers
     all 32); in that case the filter is a no-op predicate evaluated per
     row — skip it entirely."""
-    buckets = [
-        r["b"]
-        for r in qterms.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
-        ).distinct().collect()
-    ]
+    if driver_terms is not None:
+        from bayesian_bm25_spark.functions.xxhash import term_bucket
+
+        buckets = sorted({term_bucket(t, n_buckets) for t in driver_terms})
+    else:
+        buckets = [
+            r["b"]
+            for r in qterms.select(
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+            ).distinct().collect()
+        ]
     if len(buckets) >= n_buckets:
         return postings
     return postings.where(F.col("term_bucket").isin(buckets))
@@ -70,6 +86,7 @@ def score_queries(
     prune_buckets: bool = True,
     co_partition: bool = True,
     num_partitions: int | None = None,
+    driver_terms: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, tf_match, doc_len) for every matching doc.
 
@@ -91,7 +108,7 @@ def score_queries(
     qt = query_terms(queries)
     src = postings
     if prune_buckets and n_buckets and "term_bucket" in postings.columns:
-        src = prune_query_terms_buckets(postings, qt, n_buckets)
+        src = prune_query_terms_buckets(postings, qt, n_buckets, driver_terms)
     if co_partition:
         p = num_partitions or postings.sparkSession.sparkContext.defaultParallelism * 2
         src = src.repartition(p, "doc_id")
@@ -142,10 +159,13 @@ def retrieve(
     avgdl: float,
     k: int = 10,
     n_buckets: int | None = None,
+    driver_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k retrieval with probabilities:
     (query_id, rank, doc_id, score, probability)."""
-    scored = score_queries(postings, queries, n_buckets=n_buckets)
+    scored = score_queries(
+        postings, queries, n_buckets=n_buckets, driver_terms=driver_terms
+    )
     ranked = topk(scored, k=k)
     return with_probability(ranked, params, avgdl).select(
         "query_id", "rank", "doc_id", "score", "probability"
@@ -194,6 +214,7 @@ def retrieve_maxscore(
     n_buckets: int | None = None,
     num_partitions: int | None = None,
     impacts_nonnegative: bool | None = None,
+    driver_terms: list[str] | None = None,
 ) -> DataFrame:
     """Rank-exact top-k with MaxScore-style pruning — the scale path.
 
@@ -239,7 +260,10 @@ def retrieve_maxscore(
             # method; robertson users must pass the flag explicitly
             impacts_nonnegative = True
     if not impacts_nonnegative:
-        return retrieve(postings, queries, params, avgdl, k=k, n_buckets=n_buckets)
+        return retrieve(
+            postings, queries, params, avgdl,
+            k=k, n_buckets=n_buckets, driver_terms=driver_terms,
+        )
 
     spark = postings.sparkSession
     # 4× over-partitioning: the exact pass shuffle-hash-builds the
@@ -250,7 +274,7 @@ def retrieve_maxscore(
     qt = query_terms(queries)
     src = postings
     if n_buckets and "term_bucket" in postings.columns:
-        src = prune_query_terms_buckets(postings, qt, n_buckets)
+        src = prune_query_terms_buckets(postings, qt, n_buckets, driver_terms)
 
     # -- A: θ from impact-ordered prefixes ---------------------------------
     # restrict term_stats to the query batch FIRST (broadcast the tiny
@@ -330,6 +354,7 @@ def retrieve_auto(
     k: int = 10,
     n_buckets: int | None = None,
     maxscore_min_docs: int = 250_000,
+    driver_terms: list[str] | None = None,
     **maxscore_kw,
 ) -> DataFrame:
     """Cost-based routing between the exhaustive co-partitioned scan and
@@ -349,9 +374,12 @@ def retrieve_auto(
     if n_docs >= maxscore_min_docs:
         return retrieve_maxscore(
             postings, queries, term_stats, params, avgdl,
-            k=k, n_buckets=n_buckets, **maxscore_kw,
+            k=k, n_buckets=n_buckets, driver_terms=driver_terms, **maxscore_kw,
         )
-    return retrieve(postings, queries, params, avgdl, k=k, n_buckets=n_buckets)
+    return retrieve(
+        postings, queries, params, avgdl,
+        k=k, n_buckets=n_buckets, driver_terms=driver_terms,
+    )
 
 
 # -- WAND / BMW bound gates ---------------------------------------------

@@ -141,9 +141,14 @@ def ivf_search(
     pairs = []
     for qid, qv in query_rows:
         qv32 = np.asarray(qv, dtype=np.float32)
-        # stable sort: exact dot ties resolve to the lower cell id,
-        # matching an oracle's (dot DESC, cell_id ASC) ordering
-        top_cells = np.argsort(-(cent @ qv32.astype(np.float64)), kind="stable")[:nprobe]
+        # stable sort over 9-decimal-rounded dots: exact-tie AND 1-ulp
+        # near-tie decisions resolve to the lower cell id on every
+        # engine (numpy blocked summation vs an oracle's sequential
+        # fold can differ in the last bit; rounding absorbs it —
+        # mirrors the cell_assign_udf / vector_background_fit contract)
+        top_cells = np.argsort(
+            -np.round(cent @ qv32.astype(np.float64), 9), kind="stable"
+        )[:nprobe]
         for c in top_cells:
             pairs.append((int(qid), int(c), [float(x) for x in qv32]))
     probe = spark.createDataFrame(

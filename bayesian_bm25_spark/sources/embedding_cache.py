@@ -117,6 +117,12 @@ def cached_embeddings(
         spark.read.parquet(cache_dir)
         .where(F.col("model_tag") == model_tag)
         .select("text_md5", "embedding")
+        # a failed/retried append or two concurrent writers can leave
+        # duplicate (model_tag, text_md5) rows in the cache; dedup on
+        # read (deterministic pick — embeddings for equal text under one
+        # model_tag are identical by construction) so duplicates can
+        # never fan out through the final join
+        .dropDuplicates(["text_md5"])
     )
     return keys.select(id_col, "text_md5").join(full, "text_md5").select(
         id_col, "embedding"

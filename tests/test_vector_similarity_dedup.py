@@ -258,12 +258,21 @@ class TestDedup:
         assert (0, 2) in single              # top window identical → found
         multi = {
             (r["a"], r["b"])
-            for r in DD.simhash_candidates(fp, n_probes=4).collect()
+            for r in DD.simhash_candidates(fp, prefix_bits=15, n_probes=4).collect()
         }
         assert (0, 1) in multi               # recovered by a lower window
         assert (0, 2) in multi
         assert (1, 2) in multi               # Hamming 2, disjoint windows
         assert not any(3 in p for p in multi)
+
+    def test_simhash_multiprobe_overlap_rejected(self, spark):
+        """Windows must fit the 63 usable bits — overlapping (clamped)
+        windows silently weaken the recall guarantee, so they raise."""
+        fp = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+        with pytest.raises(ValueError, match="63 usable"):
+            DD.simhash_candidates(fp, prefix_bits=16, n_probes=4)
+        with pytest.raises(ValueError, match="prefix_bits"):
+            DD.simhash_candidates(fp, prefix_bits=64)
 
     def test_embedding_near_dups(self, spark):
         rng = np.random.default_rng(42)
