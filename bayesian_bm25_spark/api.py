@@ -24,6 +24,7 @@ import tempfile
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bayesian_bm25_spark.operators import multi_field as MFO
 from bayesian_bm25_spark.operators import query as Q
@@ -140,12 +141,21 @@ class BayesianBM25Scorer:
             raise RuntimeError("Call index() first.")
 
     def _maybe_stem(self, qdf: DataFrame) -> DataFrame:
-        """Stem query terms when the index was built with a stemmer —
-        index and query tokenization must always agree."""
-        if self._index.config.stemmer is not None:
+        """Normalize query terms exactly as the index tokenizer did:
+        stopword removal on the UNSTEMMED token first, then stemming
+        (the bm25s.tokenize order) — index and query tokenization must
+        always agree."""
+        cfg = self._index.config
+        if cfg.stopwords is not None:
+            from bayesian_bm25_spark.functions.stopwords import remove_stopwords
+
+            qdf = qdf.withColumn(
+                "terms", remove_stopwords(F.col("terms"), cfg.stopwords)
+            )
+        if cfg.stemmer is not None:
             from bayesian_bm25_spark.functions.stemmer import stem_terms
 
-            return stem_terms(qdf, algorithm=self._index.config.stemmer)
+            return stem_terms(qdf, algorithm=cfg.stemmer)
         return qdf
 
     # -- query ------------------------------------------------------------
@@ -159,15 +169,21 @@ class BayesianBM25Scorer:
         return _collect_topk(res, len(query_tokens), k, "probability")
 
     def _driver_terms(self, query_tokens: list[list[str]]) -> list[str]:
-        """Flat post-stemming term list for driver-side bucket pruning —
-        stems with the SAME pure-Python function the Spark pandas UDF
-        wraps, so the bucket set exactly matches the distributed terms
-        (no Spark job spent learning which partitions to scan)."""
+        """Flat post-normalization term list for driver-side bucket
+        pruning — filters/stems with the SAME pure-Python functions the
+        Spark UDFs wrap, so the bucket set exactly matches the
+        distributed terms (no Spark job spent learning which partitions
+        to scan)."""
+        cfg = self._index.config
         terms = {t for q in query_tokens for t in q}
-        if self._index.config.stemmer is not None:
+        if cfg.stopwords is not None:
+            from bayesian_bm25_spark.functions.stopwords import resolve_stopwords
+
+            terms -= resolve_stopwords(cfg.stopwords)
+        if cfg.stemmer is not None:
             from bayesian_bm25_spark.functions.stemmer import resolve_stemmer
 
-            stem = resolve_stemmer(self._index.config.stemmer)
+            stem = resolve_stemmer(cfg.stemmer)
             terms = {stem(t) for t in terms}
         return sorted(terms)
 

@@ -59,6 +59,9 @@ class IndexConfig:
     b: float = 0.75
     method: str = "lucene"  # robertson | lucene | atire
     stemmer: str | None = None  # None | "porter" | "porter2"/"snowball" (index AND queries)
+    # None | "english" | explicit word list — removed on the UNSTEMMED
+    # token (bm25s.tokenize order), applied at index AND query time
+    stopwords: str | tuple | None = None
     alpha: float | None = None
     beta: float | None = None
     base_rate: float | str | None = None  # None | "auto" | float
@@ -185,7 +188,11 @@ def assign_doc_ids(
     return parted.mapInPandas(add_ids, schema=out_schema)
 
 
-def tokenize_pages(pages: DataFrame, stemmer: str | None = None) -> DataFrame:
+def tokenize_pages(
+    pages: DataFrame,
+    stemmer: str | None = None,
+    stopwords: str | tuple | None = None,
+) -> DataFrame:
     """pages → docs(doc_id, url, tokens, doc_len).
 
     doc_id is taken from the input when present; otherwise assigned as
@@ -195,10 +202,18 @@ def tokenize_pages(pages: DataFrame, stemmer: str | None = None) -> DataFrame:
     ``stemmer`` (off by default) applies a pure-Python stemmer per token
     via an Arrow UDF: "porter" (classic 1980) or "porter2"/"snowball"
     (Snowball English — the stemmer behind the reference's published
-    BEIR numbers, hybrid_beir.py:288-296).  Queries must then be stemmed
-    with the same flag (the reference stems both sides)."""
+    BEIR numbers, hybrid_beir.py:288-296).  ``stopwords`` ("english" or
+    an explicit list) removes stopwords BEFORE stemming — the
+    bm25s.tokenize order (hybrid_beir.py:293 passes
+    ``stopwords="english"`` alongside the stemmer), via a JVM-side
+    higher-order filter.  Queries must then be normalized with the same
+    flags (the reference applies both on both sides)."""
     base = pages if "doc_id" in pages.columns else assign_doc_ids(pages)
     tokens = C.tokenize(F.col("text"))
+    if stopwords is not None:
+        from bayesian_bm25_spark.functions.stopwords import remove_stopwords
+
+        tokens = remove_stopwords(tokens, stopwords)
     if stemmer is not None:
         from bayesian_bm25_spark.functions.stemmer import (
             resolve_stemmer,
@@ -322,7 +337,7 @@ def _build_index_impl(
     docs = ckpt.run_stage(
         spark,
         docs_dir,
-        lambda: tokenize_pages(pages, stemmer=cfg.stemmer),
+        lambda: tokenize_pages(pages, stemmer=cfg.stemmer, stopwords=cfg.stopwords),
         stage="docs",
         force=force,
     )
@@ -795,7 +810,7 @@ def add_documents(
     if "doc_id" in new_pages.columns:
         # preserve caller-supplied ids (reference append-order semantics);
         # validate they don't collide with the existing range
-        new_docs = tokenize_pages(new_pages, stemmer=index.config.stemmer)
+        new_docs = tokenize_pages(new_pages, stemmer=index.config.stemmer, stopwords=index.config.stopwords)
         mn = new_docs.agg(F.min("doc_id")).collect()[0][0]
         if mn is not None and int(mn) < index.n_docs:
             raise ValueError(

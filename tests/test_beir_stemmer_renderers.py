@@ -84,6 +84,82 @@ class TestPorterStemmer:
             tokenize_pages(pages, stemmer="snowball2")
 
 
+class TestStopwords:
+    """BEIR-protocol stopword filtering (reference hybrid_beir.py:293:
+    bm25s.tokenize(stopwords='english') alongside the stemmer)."""
+
+    def test_filter_preserves_duplicates_and_order(self, spark):
+        from bayesian_bm25_spark.operators.index_build import tokenize_pages
+
+        pages = spark.createDataFrame(
+            [(0, "u", "the cat and the cat ran", "en")],
+            "doc_id long, url string, text string, lang string",
+        )
+        row = tokenize_pages(pages, stopwords="english").collect()[0]
+        # "the"/"and" removed; the duplicate surviving token stays twice
+        # (array_except-style dedup would corrupt tf)
+        assert row["tokens"] == ["cat", "cat", "ran"]
+        assert row["doc_len"] == 3
+
+    def test_stopword_removed_before_stemming(self, spark):
+        """bm25s order: filter on the UNSTEMMED surface form.  'during'
+        is a stopword whose Porter stem ('dure') is not — filtering
+        after stemming would wrongly keep it."""
+        from bayesian_bm25_spark.operators.index_build import tokenize_pages
+
+        pages = spark.createDataFrame(
+            [(0, "u", "during running", "en")],
+            "doc_id long, url string, text string, lang string",
+        )
+        row = tokenize_pages(pages, stemmer="porter", stopwords="english").collect()[0]
+        assert row["tokens"] == ["run"]
+
+    def test_index_and_query_agree_on_stopwords(self, spark, tmp_path):
+        """Docs differing ONLY by stopwords index identically, and
+        stopword-laden queries rank identically to their content-word
+        cores — through the full facade path."""
+        from bayesian_bm25_spark.api import BayesianBM25Scorer
+
+        texts = [
+            "the quick brown fox and the lazy dog",
+            "quick brown fox lazy dog",          # same minus stopwords
+            "a completely unrelated document about databases",
+        ]
+        pages = spark.createDataFrame(
+            [(i, f"https://s.test/{i}", t, "en") for i, t in enumerate(texts)],
+            "doc_id long, url string, text string, lang string",
+        )
+        eng = BayesianBM25Scorer(
+            spark, index_path=str(tmp_path / "sw_idx"),
+            stemmer="porter2", stopwords="english",
+            alpha=1.0, beta=1.0, build_compressed=False,
+        )
+        eng.index(pages)
+        lens = {
+            r["doc_id"]: r["doc_len"]
+            for r in eng._index.doc_stats.collect()
+        }
+        assert lens[0] == lens[1] == 5  # stopword-only difference gone
+        ids_sw, p_sw = eng.retrieve([["the", "quick", "fox", "and"]], k=2)
+        ids_core, p_core = eng.retrieve([["quick", "fox"]], k=2)
+        assert ids_sw.tolist() == ids_core.tolist()
+        assert p_sw.tolist() == p_core.tolist()
+        assert set(ids_sw[0]) == {0, 1}
+
+    def test_unknown_stopword_set_rejected(self):
+        from bayesian_bm25_spark.functions.stopwords import resolve_stopwords
+
+        with pytest.raises(ValueError, match="unknown stopword set"):
+            resolve_stopwords("klingon")
+
+    def test_explicit_list_and_driver_twin(self):
+        from bayesian_bm25_spark.functions.stopwords import filter_tokens_driver
+
+        assert filter_tokens_driver(
+            ["foo", "bar", "foo", "baz"], ["bar", "baz"]
+        ) == ["foo", "foo"]
+
+
 def _write_beir_fixture(root) -> str:
     """Tiny BEIR-layout dataset: 4 docs, 2 judged queries, 1 unjudged."""
     d = os.path.join(str(root), "toy-beir")

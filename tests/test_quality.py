@@ -26,7 +26,8 @@ class TestQualityHarness:
     def test_all_methods_present_and_bounded(self, quality_results):
         assert set(quality_results) == {
             "bm25", "dense", "convex", "rrf", "balanced", "logodds_local",
-            "vpt_balanced", "arctan_or",
+            "vpt_balanced", "arctan_or", "gated_relu", "attention",
+            "multihead",
         }
         for m in quality_results.values():
             assert 0.0 <= m["ndcg"] <= 1.0
@@ -49,3 +50,16 @@ class TestQualityHarness:
         )
         assert best > quality_results["bm25"]["ndcg"]
         assert best > quality_results["dense"]["ndcg"]
+
+    def test_learned_fusion_beats_single_signals(self, quality_results):
+        """The reference's headline method (attention fusion,
+        README.md:433) — fit on the fixture qrels — must beat both
+        single signals, and at least match the untrained balanced
+        baseline (the fixture is constructed so fusion wins)."""
+        att = quality_results["attention"]["ndcg"]
+        assert att > quality_results["bm25"]["ndcg"]
+        assert att > quality_results["dense"]["ndcg"]
+        assert att >= quality_results["balanced"]["ndcg"]
+        mh = quality_results["multihead"]["ndcg"]
+        assert mh > quality_results["bm25"]["ndcg"]
+        assert mh > quality_results["dense"]["ndcg"]

@@ -186,6 +186,57 @@ class TestVectorOpsSpark:
             expect = vpt.calibrate(g["distance"].to_numpy())
             np.testing.assert_allclose(g["vector_prob"].to_numpy(), expect, rtol=1e-9)
 
+    def test_calibrate_per_query_gmm_bitwise_vs_driver(self, spark, emb_df):
+        """Forced-GMM path: the distributed applyInPandas EM must equal
+        driver-numpy EM on the identical collected candidate arrays
+        BITWISE (same float64 code path; Arrow round-trips doubles
+        exactly) — the golden for the per-query EM stage of the
+        rows-only vector_calibrated_topk entry (reference
+        vector_probability.py:296-431)."""
+        pdf = emb_df.limit(4).toPandas()
+        queries = spark.createDataFrame(
+            [(int(r.vec_id), [float(x) for x in r.embedding]) for r in pdf.itertuples()],
+            "query_id long, q_emb array<float>",
+        )
+        dists = VO.distances_from_embeddings(emb_df, queries)
+        vpt = VO.fit_background(dists, base_rate=0.05)
+        got = VO.calibrate_per_query(dists, vpt, method="gmm").toPandas()
+        for qid, g in got.groupby("query_id"):
+            g = g.sort_values("vec_id")
+            expect = vpt.calibrate(g["distance"].to_numpy(), method="gmm")
+            np.testing.assert_array_equal(g["vector_prob"].to_numpy(), expect)
+
+    def test_vector_calibrated_topk_entry_golden(self, spark):
+        """End-to-end golden for the one rows-only driver entry: rebuild
+        its exact top-10 on the driver (numpy EM on collected distances,
+        rank by prob DESC / vec_id ASC) and require identical rows."""
+        from bayesian_bm25_spark.entry_queries import SPARK_QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        got = [
+            (r["query_id"], r["rank"], r["vec_id"], r["vprob_r"])
+            for r in SPARK_QUERIES["vector_calibrated_topk"](spark, sf).collect()
+        ]
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        dists = VO.distances_from_embeddings(emb, queries)
+        vpt = VO.fit_background(dists, base_rate=0.05)
+        pdf = dists.toPandas()
+        expect = []
+        for qid, g in pdf.groupby("query_id", sort=True):
+            g = g.sort_values("vec_id")
+            probs = np.atleast_1d(vpt.calibrate(g["distance"].to_numpy()))
+            order = np.lexsort((g["vec_id"].to_numpy(), -probs))[:10]
+            for rank, i in enumerate(order, start=1):
+                expect.append(
+                    (int(qid), rank, int(g["vec_id"].to_numpy()[i]),
+                     round(float(probs[i]), 6))
+                )
+        assert sorted(got) == sorted(expect)
+
 
 class TestDedup:
     @pytest.fixture(scope="class")
