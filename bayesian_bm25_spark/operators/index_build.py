@@ -745,33 +745,49 @@ def _estimate_params(
 
         scored = scored.cache()
         try:
+            # job 1 materializes the cache; the exact-median chain and
+            # the base-rate chain then read ONLY cached blocks and are
+            # independent — run them concurrently so their per-job fixed
+            # costs overlap (params is the longest member of the build's
+            # parallel group; every serial job here is on the critical
+            # path)
             row = scored.agg(
                 F.stddev_pop("score").alias("std"),
                 F.count(F.lit(1)).alias("n"),
             ).collect()[0]
             if int(row["n"]) == 0:
                 return TransformParams(alpha=cfg.alpha or 1.0, beta=cfg.beta or 0.0)
-            est_beta = exact_percentile(scored, "score", 0.5)
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            def _base_rate() -> float | None:
+                if cfg.base_rate == "auto":
+                    per_q = scored.groupBy("query_id").agg(
+                        F.expr("percentile(score, 0.95)").alias("thr")
+                    )
+                    ratios = (
+                        scored.join(per_q, "query_id")
+                        .where(F.col("score") >= F.col("thr"))
+                        .groupBy("query_id")
+                        .agg((F.count(F.lit(1)) / F.lit(float(n_docs))).alias("ratio"))
+                    )
+                    return float(
+                        np.clip(float(ratios.agg(F.avg("ratio")).collect()[0][0]), 1e-6, 0.5)
+                    )
+                if isinstance(cfg.base_rate, (int, float)):
+                    return float(cfg.base_rate)
+                return None
+
+            with _TPE(max_workers=2) as pool:
+                f_med = pool.submit(
+                    exact_percentile, scored, "score", 0.5, n=int(row["n"])
+                )
+                f_br = pool.submit(_base_rate)
+                est_beta = f_med.result()
+                base_rate = f_br.result()
             std = float(row["std"])
             est_alpha = 1.0 / std if std > 0 else 1.0
             alpha = cfg.alpha if cfg.alpha is not None else est_alpha
             beta = cfg.beta if cfg.beta is not None else est_beta
-            base_rate: float | None = None
-            if cfg.base_rate == "auto":
-                per_q = scored.groupBy("query_id").agg(
-                    F.expr("percentile(score, 0.95)").alias("thr")
-                )
-                ratios = (
-                    scored.join(per_q, "query_id")
-                    .where(F.col("score") >= F.col("thr"))
-                    .groupBy("query_id")
-                    .agg((F.count(F.lit(1)) / F.lit(float(n_docs))).alias("ratio"))
-                )
-                base_rate = float(
-                    np.clip(float(ratios.agg(F.avg("ratio")).collect()[0][0]), 1e-6, 0.5)
-                )
-            elif isinstance(cfg.base_rate, (int, float)):
-                base_rate = float(cfg.base_rate)
             return TransformParams(alpha=alpha, beta=beta, base_rate=base_rate)
         finally:
             scored.unpersist()

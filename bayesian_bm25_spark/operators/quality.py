@@ -196,6 +196,15 @@ def _learned_fusion_rankings(
             ),
             k=k,
         ),
+        # the reference's faithful OR fusion (fusion_bayesian_bm25_or):
+        # p_dense = clamp((1+cos)/2), fused = 1 − Π(1−p)
+        "cosine_or": FO.topk_fused(
+            feats.withColumn(
+                "fused",
+                1.0 - (1.0 - F.col("p_sparse")) * (1.0 - F.col("p_dense")),
+            ),
+            k=k,
+        ),
     }
 
     train = (
@@ -242,7 +251,7 @@ def _learned_fusion_rankings(
             s += float(np.sum(g / np.log2(np.arange(len(g)) + 2.0)))
         return s
 
-    def _fit_rank_selected(model, forward):
+    def _fit_rank_selected(model, forward, fit=None):
         """Chunked GD with rank-metric model selection: fit 20 iters at
         a time, score DCG@k after each chunk, keep the best checkpoint.
         The zero-W init ranks exactly like ``balanced`` (equal softmax
@@ -254,13 +263,38 @@ def _learned_fusion_rankings(
 
         best_score = _dcg_sum(forward())
         best = copy.deepcopy(model.__dict__)
+        step = fit or (lambda: model.fit(probs, labels, qf, max_iterations=20))
         for _ in range(15):
-            model.fit(probs, labels, qf, max_iterations=20)
+            step()
             sc = _dcg_sum(forward())
             if sc > best_score:
                 best_score = sc
                 best = copy.deepcopy(model.__dict__)
         model.__dict__.update(best)
+
+    from bayesian_bm25_spark.kernel.combine import LearnableLogOddsWeights
+
+    lw = LearnableLogOddsWeights(2, alpha=0.5)
+    _fit_rank_selected(
+        lw,
+        lambda: np.atleast_1d(lw(probs)),
+        fit=lambda: lw.fit(probs, labels, max_iterations=20),
+    )
+    w1, w2 = (float(x) for x in lw.weights)
+    scale = 2.0 ** lw.alpha
+    out["learnable"] = FO.topk_fused(
+        feats.withColumn(
+            "fused",
+            C.sigmoid(
+                F.lit(scale)
+                * (
+                    F.lit(w1) * C.logit(F.col("ps_n"))
+                    + F.lit(w2) * C.logit(F.col("pd_n"))
+                )
+            ),
+        ),
+        k=k,
+    )
 
     att = AttentionLogOddsWeights(2, 3, seed=0)
     # zero init → softmax gives exactly equal weights for every query:

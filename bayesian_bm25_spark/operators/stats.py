@@ -18,9 +18,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_percentile(df: DataFrame, col: str, q: float, accuracy: int = 10000) -> float:
-    """Exact q-percentile (numpy 'linear') of df[col], distributed."""
-    n = df.count()
+def exact_percentile(
+    df: DataFrame, col: str, q: float, accuracy: int = 10000,
+    n: int | None = None,
+) -> float:
+    """Exact q-percentile (numpy 'linear') of df[col], distributed.
+
+    Pass ``n`` (the row count) when the caller already knows it — saves
+    the count job."""
+    if n is None:
+        n = df.count()
     if n == 0:
         raise ValueError("empty column")
     if n == 1:

@@ -66,6 +66,18 @@ def main() -> None:
         builder = builder.config(
             "spark.executor.memory", os.environ["BENCH_EXECUTOR_MEM"]
         )
+    if os.environ.get("BENCH_EVENT_LOG_DIR"):
+        # per-job timeline capture for the scaling diagnosis
+        # (tools/joblog.py parses JobStart/JobEnd events to attribute
+        # driver-serial seconds — gaps where NO job is running)
+        d = os.environ["BENCH_EVENT_LOG_DIR"]
+        os.makedirs(d, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{d}")
+            # plain JSON: the analyzer runs where no zstd binding exists
+            .config("spark.eventLog.compress", "false")
+        )
     spark = (
         builder
         .appName("bb25spark-bench")
@@ -113,6 +125,7 @@ def main() -> None:
             "overwrite"
         ).parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
+        windows: dict[str, list[float]] = {}
         t0 = time.time()
         idx = build_index(
             spark,
@@ -122,6 +135,7 @@ def main() -> None:
             force=True,
         )
         build_sec = time.time() - t0
+        windows["build"] = [t0, time.time()]
         timings["index_build"] = round(build_sec, 4)
         total += build_sec
 
@@ -153,6 +167,7 @@ def main() -> None:
         )
         n_rows = res.count()
         query_sec = time.time() - t0
+        windows["query"] = [t0, time.time()]
         timings["query_top10"] = round(query_sec, 4)
         total += query_sec
         print(f"# build {N_DOCS} docs in {build_sec:.2f}s; "
@@ -174,6 +189,9 @@ def main() -> None:
         "query_qps": round(N_QUERIES / timings["query_top10"], 2),
         "build_stages": build_stages,
     }
+    if os.environ.get("BENCH_EVENT_LOG_DIR"):
+        out["app_id"] = spark.sparkContext.applicationId
+        out["windows"] = {k: [round(v[0], 3), round(v[1], 3)] for k, v in windows.items()}
     print(json.dumps(out))
     spark.stop()
 

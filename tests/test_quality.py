@@ -27,7 +27,7 @@ class TestQualityHarness:
         assert set(quality_results) == {
             "bm25", "dense", "convex", "rrf", "balanced", "logodds_local",
             "vpt_balanced", "arctan_or", "gated_relu", "attention",
-            "multihead",
+            "multihead", "cosine_or", "learnable",
         }
         for m in quality_results.values():
             assert 0.0 <= m["ndcg"] <= 1.0

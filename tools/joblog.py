@@ -1,0 +1,170 @@
+"""Per-JOB timeline attribution from a Spark event log.
+
+Phase walls overlap and hide scheduling gaps; this tool answers "where
+do the non-scaling seconds actually go" at job granularity: within a
+bench window (build / query, epoch seconds from bench.py's ``windows``
+output) it computes
+
+  - busy_sec:   union of [submission, completion] of all jobs
+  - gap_sec:    window wall − busy  (NO job running: driver planning,
+                collect processing, parquet commits, python time)
+  - n_jobs, top jobs by duration, top gaps with surrounding jobs
+
+Usage:
+  python tools/joblog.py <event_log_file_or_dir> <bench_json_file>
+  (bench_json: the one-line JSON bench.py printed, containing
+   "app_id" and "windows"; or pass '-' and provide --window t0 t1)
+
+The analysis is also importable: ``analyze(log_path, windows)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _iter_job_events(path: str):
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            # cheap prefilter: task events dominate the log; only job
+            # boundaries matter here
+            if '"SparkListenerJobStart"' not in line and '"SparkListenerJobEnd"' not in line:
+                continue
+            try:
+                yield json.loads(line)
+            except json.JSONDecodeError:
+                continue
+
+
+def load_jobs(path: str | list[str]) -> list[dict]:
+    """[{job_id, t0, t1, name}] (epoch seconds), sorted by t0."""
+    paths = [path] if isinstance(path, str) else list(path)
+    starts: dict[int, dict] = {}
+    jobs: list[dict] = []
+    for ev in (e for p in paths for e in _iter_job_events(p)):
+        if ev["Event"] == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            name = ""
+            props = ev.get("Properties") or {}
+            name = props.get("spark.job.description") or props.get(
+                "callSite.short", ""
+            )
+            if not name and ev.get("Stage Infos"):
+                name = ev["Stage Infos"][0].get("Stage Name", "")
+            starts[jid] = {
+                "job_id": jid,
+                "t0": ev["Submission Time"] / 1000.0,
+                "name": name[:120],
+            }
+        elif ev["Event"] == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in starts:
+                j = starts.pop(jid)
+                j["t1"] = ev["Completion Time"] / 1000.0
+                jobs.append(j)
+    jobs.sort(key=lambda j: j["t0"])
+    return jobs
+
+
+def _union_busy(intervals: list[tuple[float, float]]) -> float:
+    if not intervals:
+        return 0.0
+    intervals = sorted(intervals)
+    busy = 0.0
+    cur0, cur1 = intervals[0]
+    for a, b in intervals[1:]:
+        if a > cur1:
+            busy += cur1 - cur0
+            cur0, cur1 = a, b
+        else:
+            cur1 = max(cur1, b)
+    return busy + (cur1 - cur0)
+
+
+def analyze_window(jobs: list[dict], t0: float, t1: float, top: int = 8) -> dict:
+    win = [j for j in jobs if j["t1"] > t0 and j["t0"] < t1]
+    iv = [(max(j["t0"], t0), min(j["t1"], t1)) for j in win]
+    busy = _union_busy(iv)
+    wall = t1 - t0
+    # gaps: periods inside the window with no job running
+    gaps = []
+    cursor = t0
+    for j in sorted(win, key=lambda j: j["t0"]):
+        a = max(j["t0"], t0)
+        if a > cursor:
+            gaps.append({"sec": round(a - cursor, 2), "before_job": j["name"]})
+        cursor = max(cursor, min(j["t1"], t1))
+    if cursor < t1:
+        gaps.append({"sec": round(t1 - cursor, 2), "before_job": "(window end)"})
+    gaps.sort(key=lambda g: -g["sec"])
+    longest = sorted(win, key=lambda j: -(j["t1"] - j["t0"]))[:top]
+    return {
+        "wall_sec": round(wall, 2),
+        "busy_sec": round(busy, 2),
+        "gap_sec": round(wall - busy, 2),
+        "gap_pct": round(100.0 * (wall - busy) / wall, 1) if wall > 0 else 0.0,
+        "n_jobs": len(win),
+        "top_gaps": gaps[:top],
+        "top_jobs": [
+            {"sec": round(j["t1"] - j["t0"], 2), "name": j["name"]}
+            for j in longest
+        ],
+    }
+
+
+def analyze(log_path: str, windows: dict[str, list[float]]) -> dict[str, dict]:
+    jobs = load_jobs(log_path)
+    return {k: analyze_window(jobs, v[0], v[1]) for k, v in windows.items()}
+
+
+def find_log(dir_or_file: str, app_id: str | None = None) -> str:
+    """Resolve an event-log FILE: accepts a file, an eventLog.dir, or a
+    Spark-4 ``eventlog_v2_<appId>/`` rolling directory (events_N_…)."""
+    if os.path.isfile(dir_or_file):
+        return dir_or_file
+    cands = [
+        os.path.join(dir_or_file, f)
+        for f in os.listdir(dir_or_file)
+        if not f.startswith(".") and (app_id is None or app_id in f)
+    ]
+    if not cands:
+        raise FileNotFoundError(f"no event log in {dir_or_file} for {app_id}")
+    best = max(cands, key=os.path.getmtime)
+    if os.path.isdir(best):  # eventlog_v2 layout
+        parts = sorted(
+            os.path.join(best, f)
+            for f in os.listdir(best)
+            if f.startswith("events_")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no events_ file in {best}")
+        if parts[0].endswith(".zstd"):
+            raise RuntimeError(
+                f"{parts[0]} is zstd-compressed; rerun bench with "
+                "spark.eventLog.compress=false (bench.py sets this)"
+            )
+        # rolling can split into events_1..N parts; load_jobs accepts
+        # the list and reads them in order
+        return parts if len(parts) > 1 else parts[0]
+    return best
+
+
+def main() -> None:
+    log_arg, bench_json = sys.argv[1], sys.argv[2]
+    with open(bench_json) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{") and '"windows"' in line:
+                bench = json.loads(line)
+                break
+        else:
+            raise SystemExit("bench json has no 'windows' field")
+    log = find_log(log_arg, bench.get("app_id"))
+    out = analyze(log, bench["windows"])
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
