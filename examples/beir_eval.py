@@ -43,8 +43,11 @@ def main() -> None:
         spark,
         ds.pages,
         tempfile.mkdtemp(prefix="bb25_beir_idx_"),
-        # stemmer="porter" reproduces the reference's stemmed-tokenizer
-        # setup (its published numbers use Snowball; see functions/stemmer)
+        # stemmer="porter2", stopwords="english" reproduces the
+        # reference's published BEIR tokenizer protocol
+        # (bm25s.tokenize(stemmer=Snowball-en, stopwords="english"),
+        # hybrid_beir.py:288-296); left off here so the default run
+        # matches the plain whitespace contract
         IndexConfig(base_rate="auto"),
     )
     ranking = Q.retrieve(
