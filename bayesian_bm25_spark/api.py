@@ -85,6 +85,7 @@ class BayesianBM25Scorer:
             **config_kw,
         )
         self._index: BM25Index | None = None
+        self._scoring_src: DataFrame | None = None
 
     # -- build ----------------------------------------------------------
 
@@ -97,6 +98,14 @@ class BayesianBM25Scorer:
             else _pages_from_tokens(self.spark, corpus)
         )
         self._index = build_index(self.spark, pages, self._path, self._config, force=True)
+        self._drop_scoring_cache()
+
+    def _drop_scoring_cache(self) -> None:
+        """A (re)build or append invalidates the persisted scoring
+        layout — unpersist so the next warm_scoring_cache rebuilds it."""
+        if self._scoring_src is not None:
+            self._scoring_src.unpersist()
+            self._scoring_src = None
 
     def add_documents(self, new_corpus, show_progress: bool = False) -> None:
         if self._index is None:
@@ -108,6 +117,7 @@ class BayesianBM25Scorer:
         )
         self._index = add_documents(self._index, pages, self._path + "_v2")
         self._path = self._index.path
+        self._drop_scoring_cache()
 
     # -- properties mirroring the reference ------------------------------
 
@@ -187,6 +197,18 @@ class BayesianBM25Scorer:
             terms = {stem(t) for t in terms}
         return sorted(terms)
 
+    def warm_scoring_cache(self, num_partitions: int | None = None) -> None:
+        """Pay the postings→doc_id re-layout ONCE and reuse it for every
+        later retrieve call (query.prepartition_for_scoring).  Without
+        this, each batch re-shuffles the postings into the scoring
+        layout — the right default for one-shot jobs, wasteful for a
+        long-lived service answering many batches."""
+        self._require()
+        if self._scoring_src is None:
+            self._scoring_src = Q.prepartition_for_scoring(
+                self._index.postings, num_partitions
+            )
+
     def _route(
         self, qdf: DataFrame, k: int, driver_terms: list[str] | None = None
     ) -> DataFrame:
@@ -194,11 +216,13 @@ class BayesianBM25Scorer:
         co-partitioned scan on small corpora, MaxScore pruning past the
         measured crossover — rank-identical either way."""
         idx = self._index
+        src = self._scoring_src if self._scoring_src is not None else idx.postings
         return Q.retrieve_auto(
-            idx.postings, qdf, idx.term_stats, idx.params, idx.avgdl,
+            src, qdf, idx.term_stats, idx.params, idx.avgdl,
             n_docs=idx.n_docs, k=k, n_buckets=idx.config.n_buckets,
             impacts_nonnegative=(idx.config.method != "robertson"),
             driver_terms=driver_terms,
+            src_partitioned=self._scoring_src is not None,
         )
 
     def retrieve_df(self, queries: DataFrame, k: int = 10) -> DataFrame:

@@ -186,13 +186,30 @@ def _learned_fusion_rankings(
         .withColumn("f3", F.lit(0.5))
     )
 
-    out: dict[str, DataFrame] = {
-        "gated_relu": FO.topk_fused(
+    def _gated(kind: str) -> DataFrame:
+        return FO.topk_fused(
             feats.withColumn(
                 "fused",
                 C.log_odds_conjunction(
-                    F.array("p_sparse", "p_dense"), gating="relu"
+                    F.array("p_sparse", "p_dense"), gating=kind
                 ),
+            ),
+            k=k,
+        )
+
+    out: dict[str, DataFrame] = {
+        # reference matrix rows Bayesian-Gated-* (hybrid_beir.py:1456-57)
+        "gated_relu": _gated("relu"),
+        "gated_swish": _gated("swish"),
+        "gated_gelu": _gated("gelu"),
+        "gated_softplus": _gated("softplus"),
+        # Bayesian-LogOdds: ungated posterior log-odds conjunction
+        "logodds": _gated("none"),
+        # Dense-Arctan: the arctan-calibrated dense signal alone
+        "dense_arctan": FO.topk_fused(
+            feats.withColumn(
+                "fused",
+                FO.arctan_normalize(F.greatest(F.col("cos_dense"), F.lit(0.0))),
             ),
             k=k,
         ),

@@ -78,6 +78,39 @@ def prune_query_terms_buckets(
     return postings.where(F.col("term_bucket").isin(buckets))
 
 
+def prepartition_for_scoring(
+    postings: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """doc_id-hash-repartitioned postings, PERSISTED for reuse across
+    query batches.
+
+    Both retrieval plans re-layout the postings by doc_id per batch (the
+    co-partitioning that lets the scoring agg run without an exchange).
+    A service answering many batches should pay that full-corpus shuffle
+    ONCE: this frame keeps its HashPartitioning(doc_id) through persist,
+    so every later ``score_queries(..., co_partition=False)`` /
+    ``retrieve_maxscore(..., src_partitioned=True)`` runs shuffle-free
+    on the postings side.  MEMORY_AND_DISK: on a cluster this is the
+    standard materialized re-layout (disk-backed where RAM is short).
+
+    Note: term_bucket scan pruning happens before this at build layout
+    time; filters on the persisted frame evaluate in memory (cheap) but
+    no longer skip file reads — the trade is one corpus read vs a
+    corpus shuffle per batch.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    p = num_partitions or postings.sparkSession.sparkContext.defaultParallelism * 2
+    out = postings.repartition(p, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    # EAGER materialization is load-bearing, not a warm-up nicety: until
+    # the cache is built, consumers see UnknownPartitioning on the
+    # InMemoryRelation and re-add the very exchange this function exists
+    # to remove (verified against Spark 4.1; test_plans asserts the
+    # exchange-free consumer plan)
+    out.count()
+    return out
+
+
 def score_queries(
     postings: DataFrame,
     queries: DataFrame,
@@ -160,11 +193,16 @@ def retrieve(
     k: int = 10,
     n_buckets: int | None = None,
     driver_terms: list[str] | None = None,
+    co_partition: bool = True,
 ) -> DataFrame:
     """Top-k retrieval with probabilities:
-    (query_id, rank, doc_id, score, probability)."""
+    (query_id, rank, doc_id, score, probability).
+
+    Pass ``co_partition=False`` with a ``prepartition_for_scoring``
+    frame to reuse one postings re-layout across many batches."""
     scored = score_queries(
-        postings, queries, n_buckets=n_buckets, driver_terms=driver_terms
+        postings, queries, n_buckets=n_buckets, driver_terms=driver_terms,
+        co_partition=co_partition,
     )
     ranked = topk(scored, k=k)
     return with_probability(ranked, params, avgdl).select(
@@ -215,8 +253,14 @@ def retrieve_maxscore(
     num_partitions: int | None = None,
     impacts_nonnegative: bool | None = None,
     driver_terms: list[str] | None = None,
+    src_partitioned: bool = False,
 ) -> DataFrame:
     """Rank-exact top-k with MaxScore-style pruning — the scale path.
+
+    ``src_partitioned=True`` declares that ``postings`` is already a
+    ``prepartition_for_scoring`` frame (doc_id hash layout, persisted):
+    the exact pass then skips its per-batch full-corpus repartition and
+    hashes the candidate set to the postings' existing partition count.
 
     On Zipf query batches the exhaustive scoring join blows up as
     Σ_q Σ_{t∈q} df(t): head terms (df ≈ N) contribute ~zero idf yet
@@ -329,7 +373,11 @@ def retrieve_maxscore(
     )
 
     # -- D: exact scoring of candidates only --------------------------------
-    src_p = src.repartition(p, "doc_id")
+    if src_partitioned:
+        src_p = src
+        p = src.rdd.getNumPartitions()
+    else:
+        src_p = src.repartition(p, "doc_id")
     cand_p = candidates.repartition(p, "doc_id")
     joined = src_p.join(F.broadcast(qt), "term")
     exact = joined.join(cand_p.hint("shuffle_hash"), ["query_id", "doc_id"])
@@ -355,6 +403,7 @@ def retrieve_auto(
     n_buckets: int | None = None,
     maxscore_min_docs: int = 250_000,
     driver_terms: list[str] | None = None,
+    src_partitioned: bool = False,
     **maxscore_kw,
 ) -> DataFrame:
     """Cost-based routing between the exhaustive co-partitioned scan and
@@ -374,11 +423,15 @@ def retrieve_auto(
     if n_docs >= maxscore_min_docs:
         return retrieve_maxscore(
             postings, queries, term_stats, params, avgdl,
-            k=k, n_buckets=n_buckets, driver_terms=driver_terms, **maxscore_kw,
+            k=k, n_buckets=n_buckets, driver_terms=driver_terms,
+            src_partitioned=src_partitioned, **maxscore_kw,
         )
     return retrieve(
         postings, queries, params, avgdl,
         k=k, n_buckets=n_buckets, driver_terms=driver_terms,
+        # a prepartition_for_scoring frame already has the doc_id
+        # layout — don't re-shuffle it per batch
+        co_partition=not src_partitioned,
     )
 
 

@@ -70,6 +70,24 @@ class TestScorerFacade:
         s = o.get_scores(["cat"])
         assert set(np.nonzero(probs)[0]) == set(np.nonzero(s)[0])
 
+    def test_warm_scoring_cache_identical_results(self, scorer):
+        """Cached scoring layout (one postings re-shuffle reused across
+        batches) must be rank- and probability-identical to the
+        per-batch plan."""
+        queries = [["cat"], ["dog", "cat"], ["zzz_oov"]]
+        ids0, p0 = scorer.retrieve(queries, k=3)
+        scorer.warm_scoring_cache(num_partitions=8)
+        assert scorer._scoring_src is not None
+        try:
+            ids1, p1 = scorer.retrieve(queries, k=3)
+            assert ids0.tolist() == ids1.tolist()
+            assert p0.tolist() == p1.tolist()
+            ids2, p2 = scorer.retrieve(queries, k=3)  # second cached batch
+            assert ids0.tolist() == ids2.tolist()
+        finally:
+            scorer._drop_scoring_cache()
+        assert scorer._scoring_src is None
+
     def test_empty_and_oov(self, scorer):
         ids, probs = scorer.retrieve([[], ["zzz_missing"]], k=3)
         assert (ids == -1).all() and (probs == 0.0).all()

@@ -51,6 +51,46 @@ class TestScoringPlan:
         assert "hashpartitioning(doc_id" in plan
         assert not re.search(r"hashpartitioning\(query_id#\d+L?, doc_id", plan)
 
+    def test_prepartitioned_scoring_has_no_postings_exchange(self, plan_idx):
+        """prepartition_for_scoring + co_partition=False: the persisted
+        doc_id layout is REUSED — the scoring plan contains no exchange
+        at all on the postings side (only the tiny query-terms broadcast
+        prep), and results are identical to the per-batch-shuffle plan.
+        This is the amortization a long-lived service needs: one corpus
+        re-layout instead of one per batch."""
+        import re
+
+        spark = plan_idx.spark
+        src = Q.prepartition_for_scoring(plan_idx.postings, 8)
+        try:
+            qdf = queries_to_df(spark, [["w1", "w2"], ["w3"]])
+            scored = Q.score_queries(
+                src, qdf, prune_buckets=False, co_partition=False
+            )
+            plan = plan_of(scored)
+            assert "InMemoryTableScan" in plan
+            # the scoring agg must NOT re-shuffle: no exchange keyed on
+            # the agg key above the cached scan.  (The one
+            # REPARTITION_BY_NUM printed INSIDE the InMemoryRelation is
+            # the already-materialized layout build itself — executed
+            # once at prepartition time, not per batch.)
+            assert not re.search(
+                r"Exchange hashpartitioning\(query_id#\d+L?, doc_id", plan
+            ), plan
+            base = {
+                (r["query_id"], r["doc_id"], round(r["score"], 9))
+                for r in Q.score_queries(
+                    plan_idx.postings, qdf, prune_buckets=False
+                ).collect()
+            }
+            got = {
+                (r["query_id"], r["doc_id"], round(r["score"], 9))
+                for r in scored.collect()
+            }
+            assert got == base
+        finally:
+            src.unpersist()
+
     def test_query_side_is_broadcast(self, plan_idx):
         qdf = queries_to_df(plan_idx.spark, [["w1"]])
         plan = plan_of(Q.score_queries(plan_idx.postings, qdf, prune_buckets=False))

@@ -26,8 +26,9 @@ class TestQualityHarness:
     def test_all_methods_present_and_bounded(self, quality_results):
         assert set(quality_results) == {
             "bm25", "dense", "convex", "rrf", "balanced", "logodds_local",
-            "vpt_balanced", "arctan_or", "gated_relu", "attention",
-            "multihead", "cosine_or", "learnable",
+            "vpt_balanced", "arctan_or", "gated_relu", "gated_swish",
+            "gated_gelu", "gated_softplus", "logodds", "dense_arctan",
+            "attention", "multihead", "cosine_or", "learnable",
         }
         for m in quality_results.values():
             assert 0.0 <= m["ndcg"] <= 1.0

@@ -114,9 +114,53 @@ def analyze_window(jobs: list[dict], t0: float, t1: float, top: int = 8) -> dict
     }
 
 
-def analyze(log_path: str, windows: dict[str, list[float]]) -> dict[str, dict]:
+def task_stats(path: str | list[str], t0: float, t1: float, n_cores: int | None = None) -> dict:
+    """Aggregate TASK-level seconds inside a window — the inside-job
+    attribution the job timeline can't see.  task_sec is the sum of
+    task wall durations; util = task_sec / (window · cores) says whether
+    executors idled; cpu/gc/deser/shuffle-write decompose where the
+    task seconds went.  Comparing legs answers the key scaling question:
+    did per-task WORK inflate (contention), or did slots idle?"""
+    paths = [path] if isinstance(path, str) else list(path)
+    out = dict(n_tasks=0, task_sec=0.0, cpu_sec=0.0, gc_sec=0.0,
+               deser_sec=0.0, shuffle_write_sec=0.0, fetch_wait_sec=0.0)
+    for p in paths:
+        with open(p, encoding="utf-8", errors="replace") as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                ti = ev.get("Task Info") or {}
+                lt, ft = ti.get("Launch Time"), ti.get("Finish Time")
+                if not lt or not ft or ft / 1000.0 < t0 or lt / 1000.0 > t1:
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                out["n_tasks"] += 1
+                out["task_sec"] += (ft - lt) / 1000.0
+                out["cpu_sec"] += tm.get("Executor CPU Time", 0) / 1e9
+                out["gc_sec"] += tm.get("JVM GC Time", 0) / 1000.0
+                out["deser_sec"] += tm.get("Executor Deserialize Time", 0) / 1000.0
+                out["shuffle_write_sec"] += (
+                    (tm.get("Shuffle Write Metrics") or {}).get("Shuffle Write Time", 0) / 1e9
+                )
+                out["fetch_wait_sec"] += (
+                    (tm.get("Shuffle Read Metrics") or {}).get("Fetch Wait Time", 0) / 1000.0
+                )
+    out = {k: (round(v, 1) if isinstance(v, float) else v) for k, v in out.items()}
+    if n_cores:
+        out["util_pct"] = round(100.0 * out["task_sec"] / ((t1 - t0) * n_cores), 1)
+    return out
+
+
+def analyze(log_path: str, windows: dict[str, list[float]], n_cores: int | None = None) -> dict[str, dict]:
     jobs = load_jobs(log_path)
-    return {k: analyze_window(jobs, v[0], v[1]) for k, v in windows.items()}
+    out = {k: analyze_window(jobs, v[0], v[1]) for k, v in windows.items()}
+    for k, v in windows.items():
+        out[k]["tasks"] = task_stats(log_path, v[0], v[1], n_cores)
+    return out
 
 
 def find_log(dir_or_file: str, app_id: str | None = None) -> str:

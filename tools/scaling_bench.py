@@ -266,15 +266,19 @@ legs run 4× shuffle over-partitioning (Zipf stragglers rebalance across
   build efficiency 0.52 → 0.49 — removing the disk entirely changed
   nothing (the round-2 disk-ceiling claim is retracted;
   `BENCH/BASELINE_multijvm_tmpfs.md`).
-- The measured residual is (a) per-job fixed cost — driver scheduling,
-  AQE planning, collect processing, parquet commit — quantified per
-  window by the event-log job-timeline analysis (`tools/joblog.py`,
-  table above when run with `--event-log`), and (b) this shared VM's
-  run-to-run envelope (±30-45% on the 16-core leg).  Mitigations
-  shipped: the four post-postings stages run concurrently from driver
-  threads; the params phase scores pseudo-queries through a plain
-  broadcast join (no full-postings repartition) with its independent
-  estimation jobs also threaded.
+- The residual is MEASURED at job and task granularity by the
+  event-log analysis (`tools/joblog.py`, tables above when run with
+  `--event-log`): driver-serial gaps are ≤3-4% of the build wall and
+  executor slots are ~91% busy at the 4N leg — no driver bottleneck, no
+  idle executors.  What remains is PER-TASK WORK INFLATION under
+  16-wide execution on this shared VM (round-4 pairs: aggregate build
+  task-seconds ~2×, CPU +60%, shuffle-write serialization 12→145 s,
+  GC ×5) — memory-subsystem/SMT contention a real multi-node cluster
+  does not share.  Mitigations shipped anyway: concurrent post-postings
+  stages, params via plain broadcast join (no full-postings
+  repartition) with threaded estimation jobs, and
+  `query.prepartition_for_scoring` to amortize the scoring re-layout
+  across batches.
 
 The scale-relevant properties are enforced by tests rather than inferred
 from this single-box proxy (`tests/test_plans.py`):
