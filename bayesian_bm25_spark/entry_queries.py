@@ -133,6 +133,52 @@ def q_doc_stats(spark, sf_dir):
     )
 
 
+def q_stopword_stats(spark, sf_dir):
+    """Per-doc token stats AFTER English stopword removal
+    (IndexConfig(stopwords="english") path, functions/stopwords.py):
+    the JVM-side higher-order filter preserves surviving duplicates, so
+    doc_len_sw counts occurrences, not distincts.  Oracle inlines the
+    same NLTK-derived list into DuckDB list_filter."""
+    from bayesian_bm25_spark.functions.stopwords import remove_stopwords
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", C.tokenize(F.col("text")).alias("tokens")
+    )
+    sw = docs.withColumn("kept", remove_stopwords(F.col("tokens"), "english"))
+    return sw.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("doc_len_raw"),
+        F.size("kept").cast("long").alias("doc_len_sw"),
+        F.size(F.array_distinct("kept")).cast("long").alias("n_distinct_sw"),
+    )
+
+
+def _build_sql_stopword_stats() -> str:
+    from bayesian_bm25_spark.functions.stopwords import STOPWORDS_EN
+
+    inlist = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+sw AS (
+  SELECT doc_id, ts,
+         list_filter(ts, t -> t NOT IN ({inlist})) AS kept
+  FROM toks
+)
+SELECT doc_id,
+       len(ts)::BIGINT AS doc_len_raw,
+       len(kept)::BIGINT AS doc_len_sw,
+       len(list_distinct(kept))::BIGINT AS n_distinct_sw
+FROM sw
+"""
+
+
+SQL_STOPWORD_STATS = _build_sql_stopword_stats()
+
+
 SQL_DOC_STATS = """
 WITH toks AS (
   SELECT doc_id,
@@ -1335,6 +1381,7 @@ SQL_MULTIHEAD_FUSION = _build_sql_multihead_fusion()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats": q_doc_stats,
+    "stopword_stats": q_stopword_stats,
     "term_df_top100": q_term_df_top100,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_robertson": q_bm25_topk_robertson,
@@ -1369,6 +1416,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "doc_stats": SQL_DOC_STATS,
+    "stopword_stats": SQL_STOPWORD_STATS,
     "term_df_top100": SQL_TERM_DF_TOP100,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_topk_robertson": SQL_BM25_TOPK_ROBERTSON,

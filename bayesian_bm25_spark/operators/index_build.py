@@ -761,11 +761,16 @@ def _estimate_params(
 
             def _base_rate() -> float | None:
                 if cfg.base_rate == "auto":
-                    per_q = scored.groupBy("query_id").agg(
-                        F.expr("percentile(score, 0.95)").alias("thr")
-                    )
+                    # per-query p95 as a WINDOW aggregate: one shuffle
+                    # by query_id, then the filter, per-query ratio and
+                    # global mean all run map-side on that partitioning
+                    # (the old groupBy + self-join shuffled the scored
+                    # frame by query_id twice)
+                    wq = Window.partitionBy("query_id")
                     ratios = (
-                        scored.join(per_q, "query_id")
+                        scored.withColumn(
+                            "thr", F.expr("percentile(score, 0.95)").over(wq)
+                        )
                         .where(F.col("score") >= F.col("thr"))
                         .groupBy("query_id")
                         .agg((F.count(F.lit(1)) / F.lit(float(n_docs))).alias("ratio"))

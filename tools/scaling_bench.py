@@ -52,6 +52,9 @@ def run_bench(cores: int, zip_path: str, n_docs: int, n_queries: int,
     )
     if skip_headline:
         env["BENCH_SKIP_HEADLINE"] = "1"
+    # the leg-level --best-of protocol already repeats whole runs;
+    # bench.py's internal build repeat would double-charge each leg
+    env.setdefault("BENCH_BUILD_REPEATS", "1")
     if event_log_dir:
         env["BENCH_EVENT_LOG_DIR"] = event_log_dir
     if master:
