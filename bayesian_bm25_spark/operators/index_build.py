@@ -77,6 +77,9 @@ class IndexConfig:
     checkpoint_segments: bool = False
     pseudo_query_seed: int = 42
     pseudo_query_sample: int = 50
+    # row-local tf counting (zero token-stream shuffle); False restores
+    # the explode + groupBy(term, doc_id) plan
+    local_tf: bool = True
 
     def to_dict(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
@@ -229,21 +232,72 @@ def tokenize_pages(
     ).withColumn("doc_len", F.size("tokens").cast("long"))
 
 
+def _local_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, doc_len, term, tf) computed ROW-LOCALLY — zero shuffle.
+
+    A doc's term frequencies are a function of its own tokens array, so
+    the groupBy(term, doc_id) shuffle of the whole exploded token
+    stream (≈ Σ doc_len rows serialized over the network at cluster
+    scale) is unnecessary: one Arrow-batched pass counts tokens per row
+    with vectorized pandas (flatten → groupby(row, term).size — C code,
+    no per-token Python).  The only remaining build shuffle for the
+    postings table is the per-term df aggregation, whose map-side
+    partial reduces to ~|vocab| rows per partition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def count(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = pdf["tokens"]
+            lens = toks.map(len).to_numpy()
+            if int(lens.sum()) == 0:
+                continue
+            row_idx = np.repeat(np.arange(len(pdf)), lens)
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            g = (
+                pd.DataFrame({"i": row_idx, "term": flat})
+                .groupby(["i", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[g["i"].to_numpy()],
+                    "doc_len": pdf["doc_len"].to_numpy()[g["i"].to_numpy()],
+                    "term": g["term"].to_numpy(),
+                    "tf": g["tf"].to_numpy().astype("int64"),
+                }
+            )
+
+    return docs.select("doc_id", "doc_len", "tokens").mapInPandas(
+        count, schema="doc_id long, doc_len long, term string, tf long"
+    )
+
+
 def compute_postings(
     docs: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig | None = None
 ) -> DataFrame:
     """Lazy postings plan from docs(doc_id, tokens, doc_len).
 
-    explode → groupBy(term, doc) tf → per-term df join (AQE picks
-    broadcast when the term table is small) → eager impact column
-    (pure codegen) → term-bucket layout column for partition pruning.
-    """
+    Default (``cfg.local_tf``): row-local tf via ``_local_tf`` (no
+    token-stream shuffle) → per-term df agg (small) → join (AQE
+    broadcasts small vocab; one shuffle of the tf rows otherwise) →
+    eager impact column (pure codegen) → term-bucket layout column for
+    partition pruning.  ``local_tf=False`` keeps the explode →
+    groupBy(term, doc) plan (two full shuffles of the tf rows: the
+    grouping and the df join)."""
     cfg = cfg or IndexConfig()
-    tf = (
-        docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "doc_len")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if getattr(cfg, "local_tf", True):
+        tf = _local_tf(docs)
+    else:
+        tf = (
+            docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     df_per_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df_per_term, "term")
