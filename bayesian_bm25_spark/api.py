@@ -21,6 +21,7 @@ reference's ``(n_queries, k)`` so downstream code ports unchanged.
 from __future__ import annotations
 
 import tempfile
+from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,18 @@ def _pages_from_tokens(spark: SparkSession, corpus_tokens: list[list[str]],
         for i, toks in enumerate(corpus_tokens)
     ]
     return spark.createDataFrame(rows, "doc_id long, url string, text string, lang string")
+
+
+@dataclass
+class RetrievalResult:
+    """Mirror of the reference's ``retrieve(explain=True)`` result
+    (reference scorer.py:145-162): ``explanations[q][r]`` is the trace
+    for query q, rank r (attribute access like BM25SignalTrace), or
+    None for empty ranks / explain=False."""
+
+    doc_ids: np.ndarray
+    probabilities: np.ndarray
+    explanations: list | None = None
 
 
 def _collect_topk(df: DataFrame, n_queries: int, k: int, value_col: str):
@@ -170,13 +183,55 @@ class BayesianBM25Scorer:
 
     # -- query ------------------------------------------------------------
 
-    def retrieve(self, query_tokens: list[list[str]], k: int = 10):
+    def retrieve(
+        self,
+        query_tokens: list[list[str]],
+        k: int = 10,
+        show_progress: bool = False,
+        explain: bool = False,
+    ):
         """(doc_ids, probabilities) arrays of shape (n_queries, k);
-        missing ranks hold (-1, 0.0), mirroring no-match behavior."""
+        missing ranks hold (-1, 0.0), mirroring no-match behavior.
+
+        ``explain=True`` returns a ``RetrievalResult`` whose
+        ``explanations[q][r]`` traces each retrieved doc through the
+        probability pipeline (reference scorer.py:494-562) — the trace
+        struct is computed DISTRIBUTED alongside the top-k (pure Column
+        math, explain_traces.bm25_trace), never per-doc on the driver."""
         self._require()
         qdf = self._maybe_stem(queries_to_df(self.spark, query_tokens))
-        res = self._route(qdf, k, driver_terms=self._driver_terms(query_tokens))
-        return _collect_topk(res, len(query_tokens), k, "probability")
+        driver_terms = self._driver_terms(query_tokens)
+        if not explain:
+            res = self._route(qdf, k, driver_terms=driver_terms)
+            return _collect_topk(res, len(query_tokens), k, "probability")
+
+        from types import SimpleNamespace
+
+        from bayesian_bm25_spark.operators import explain_traces as ET
+
+        idx = self._index
+        scored = Q.score_queries(
+            idx.postings, qdf, n_buckets=idx.config.n_buckets,
+            driver_terms=driver_terms,
+        )
+        ranked = Q.topk(scored, k=k)
+        traced = Q.with_probability(
+            ET.retrieve_with_explanations(ranked, idx.params, idx.avgdl),
+            idx.params, idx.avgdl,
+        )
+        n_q = len(query_tokens)
+        doc_ids = np.full((n_q, k), -1, dtype=np.int64)
+        probs = np.zeros((n_q, k), dtype=np.float64)
+        explanations: list[list] = [[None] * k for _ in range(n_q)]
+        for r in traced.collect():
+            qi, rank = int(r["query_id"]), int(r["rank"]) - 1
+            doc_ids[qi, rank] = int(r["doc_id"])
+            probs[qi, rank] = float(r["probability"])
+            if r["trace"] is not None:
+                explanations[qi][rank] = SimpleNamespace(**r["trace"].asDict())
+        return RetrievalResult(
+            doc_ids=doc_ids, probabilities=probs, explanations=explanations
+        )
 
     def _driver_terms(self, query_tokens: list[list[str]]) -> list[str]:
         """Flat post-normalization term list for driver-side bucket

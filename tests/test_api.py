@@ -70,6 +70,24 @@ class TestScorerFacade:
         s = o.get_scores(["cat"])
         assert set(np.nonzero(probs)[0]) == set(np.nonzero(s)[0])
 
+    def test_retrieve_explain_result(self, scorer):
+        """retrieve(explain=True) — the reference's RetrievalResult
+        shape (scorer.py:494-562): same ids/probs as the plain path,
+        explanations[q][r] traces with posterior == probability, None
+        at empty ranks."""
+        queries = [["cat"], ["zzz_oov"]]
+        ids, probs = scorer.retrieve(queries, k=3)
+        res = scorer.retrieve(queries, k=3, explain=True)
+        assert res.doc_ids.tolist() == ids.tolist()
+        assert np.allclose(res.probabilities, probs)
+        tr = res.explanations[0][0]
+        assert tr is not None
+        assert tr.posterior == pytest.approx(res.probabilities[0][0])
+        for f in ("raw_score", "tf", "doc_len_ratio", "likelihood",
+                  "tf_prior", "norm_prior", "composite_prior", "alpha", "beta"):
+            assert hasattr(tr, f), f
+        assert res.explanations[1] == [None, None, None]  # OOV query
+
     def test_warm_scoring_cache_identical_results(self, scorer):
         """Cached scoring layout (one postings re-shuffle reused across
         batches) must be rank- and probability-identical to the
