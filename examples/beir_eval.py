@@ -12,8 +12,11 @@ P@k / MAP, all distributed.
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from pyspark.sql import SparkSession
 
