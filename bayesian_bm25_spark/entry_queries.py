@@ -394,6 +394,7 @@ def q_fusion_gated(spark, sf_dir):
         F.round(C.log_odds_conjunction(arr, gating="relu"), 6).alias("relu_r"),
         F.round(C.log_odds_conjunction(arr, gating="swish"), 6).alias("swish_r"),
         F.round(C.log_odds_conjunction(arr, gating="gelu"), 6).alias("gelu_r"),
+        F.round(C.log_odds_conjunction(arr, gating="softplus"), 6).alias("softplus_r"),
     )
 
 
@@ -404,6 +405,10 @@ def _sql_gate(lx: str, kind: str) -> str:
         return f"({lx}) * {_SIG.format(x=lx)}"
     if kind == "gelu":
         return f"({lx}) * {_SIG.format(x=f'1.702e0 * ({lx})')}"
+    if kind == "softplus":
+        # overflow-safe logaddexp(0, x): max(0,x) + log1p(exp(-|x|))
+        # — mirrors functions/columns.gate (β=1)
+        return f"(greatest(0.0e0, {lx}) + ln(1e0 + exp(-abs({lx}))))"
     raise ValueError(kind)
 
 
@@ -416,7 +421,8 @@ SQL_FUSION_GATED = f"""
 SELECT doc_id,
   round({_sql_gated_conj("relu")}, 6) AS relu_r,
   round({_sql_gated_conj("swish")}, 6) AS swish_r,
-  round({_sql_gated_conj("gelu")}, 6) AS gelu_r
+  round({_sql_gated_conj("gelu")}, 6) AS gelu_r,
+  round({_sql_gated_conj("softplus")}, 6) AS softplus_r
 FROM documents
 """
 
