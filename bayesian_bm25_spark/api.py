@@ -210,9 +210,15 @@ class BayesianBM25Scorer:
         from bayesian_bm25_spark.operators import explain_traces as ET
 
         idx = self._index
+        # explain runs the exhaustive scan (traces need every matched
+        # term's contribution, which pruning paths never materialize) but
+        # still honors warm_scoring_cache(): reuse the persisted doc_id
+        # layout and skip the per-batch co-partition shuffle when present
+        src = self._scoring_src if self._scoring_src is not None else idx.postings
         scored = Q.score_queries(
-            idx.postings, qdf, n_buckets=idx.config.n_buckets,
+            src, qdf, n_buckets=idx.config.n_buckets,
             driver_terms=driver_terms,
+            co_partition=self._scoring_src is None,
         )
         ranked = Q.topk(scored, k=k)
         traced = Q.with_probability(

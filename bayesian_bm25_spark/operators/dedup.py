@@ -217,7 +217,7 @@ def simhash64(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     return hashed.mapInPandas(fold, schema="doc_id long, simhash long")
 
 
-def simhash_candidates(fp: DataFrame, prefix_bits: int = 16,
+def simhash_candidates(fp: DataFrame, prefix_bits: int | None = None,
                        n_probes: int = 1,
                        max_bucket_size: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """(a, b) pairs sharing a ``prefix_bits`` window of the SimHash in
@@ -243,9 +243,15 @@ def simhash_candidates(fp: DataFrame, prefix_bits: int = 16,
     cap applies per (probe, block), so the self-join blow-up stays
     bounded per probe.  Over-populated blocks are excluded (skew guard,
     see ``cap_bucket_size``)."""
+    n_probes = max(1, n_probes)
+    if prefix_bits is None:
+        # widest disjoint windows the probe count allows: 16 bits for
+        # single-probe (the historical default), 63 // n_probes for
+        # multi-probe — so callers asking for n_probes=4 get the 4x15
+        # guaranteed-Hamming<=3 layout without computing bit budgets
+        prefix_bits = 16 if n_probes == 1 else 63 // n_probes
     if not 1 <= prefix_bits <= 63:
         raise ValueError("prefix_bits must be in [1, 63]")
-    n_probes = max(1, n_probes)
     if n_probes * prefix_bits > 63:
         raise ValueError(
             f"n_probes * prefix_bits = {n_probes * prefix_bits} exceeds the "

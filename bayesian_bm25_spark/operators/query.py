@@ -307,6 +307,9 @@ def retrieve_maxscore(
         return retrieve(
             postings, queries, params, avgdl,
             k=k, n_buckets=n_buckets, driver_terms=driver_terms,
+            # a prepartition_for_scoring frame keeps its doc_id layout
+            # through the fallback too (mirrors retrieve_auto's branch)
+            co_partition=not src_partitioned,
         )
 
     spark = postings.sparkSession

@@ -311,6 +311,13 @@ class TestDedup:
             (r["a"], r["b"])
             for r in DD.simhash_candidates(fp, prefix_bits=15, n_probes=4).collect()
         }
+        # default prefix_bits resolves to 63 // n_probes = 15 for
+        # multi-probe — identical pair set, no ValueError
+        auto = {
+            (r["a"], r["b"])
+            for r in DD.simhash_candidates(fp, n_probes=4).collect()
+        }
+        assert auto == multi
         assert (0, 1) in multi               # recovered by a lower window
         assert (0, 2) in multi
         assert (1, 2) in multi               # Hamming 2, disjoint windows

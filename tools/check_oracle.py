@@ -58,9 +58,11 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
+    exercised: set[str] = set()
     for name, fn in SPARK_QUERIES.items():
         if names and name not in names:
             continue
+        exercised.add(name)
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -96,6 +98,18 @@ def main() -> None:
             merged = a.compare(b) if a.shape == b.shape else None
             if merged is not None and not merged.empty:
                 print(merged.head(5))
+
+    # full-registry coverage guard: when no name filter is given, every
+    # registered entry MUST have been exercised — a registry entry that
+    # silently escapes the sweep (CORRECTNESS_r04: multihead_fusion) is
+    # an error here, not an omission
+    if names is None:
+        skipped = sorted(set(SPARK_QUERIES) - exercised)
+        if skipped:
+            failures.append(("__coverage__", f"entries not exercised: {skipped}"))
+            print(f"FAIL coverage: entries not exercised: {skipped}")
+        else:
+            print(f"coverage: all {len(SPARK_QUERIES)} registry entries exercised")
 
     print(f"\n{len(failures)} failures" if failures else "\nALL OK")
     spark.stop()
