@@ -2819,3 +2819,42 @@ def q_multihead_fusion(spark, sf_dir):
 
 SPARK_QUERIES["multihead_fusion"] = q_multihead_fusion
 ORACLE_SQL["multihead_fusion"] = SQL_MULTIHEAD_FUSION
+
+
+def q_dense_kappa(spark, sf_dir):
+    """Dense-Kappa calibrated-dense baseline (reference
+    _global_kappa_calibrate, hybrid_beir.py:754-781, applied at :1850;
+    its ECE is a published table, reference README.md:549):
+    P = σ(κ·(β − d)) over cosine distances d = 1 − sim with the
+    corpus-GLOBAL background fit β = median(d), κ = 1/std_pop(d)
+    (1.0 when std ≤ 1e-12).  The fit is two driver-held floats from two
+    aggregates — the exact median runs the distributed bracketed
+    two-pass (operators.stats.exact_percentile), never the
+    single-reducer global percentile."""
+    from bayesian_bm25_spark.operators import fusion_ops as FO
+
+    _, dense = _two_signal_frames(spark, sf_dir)
+    cands = dense.withColumn("distance", 1.0 - F.col("sim"))
+    return FO.kappa_calibrate(cands).select(
+        "query_id", "doc_id", F.round("p_dense", 6).alias("p_kappa_r")
+    )
+
+
+SQL_DENSE_KAPPA = (
+    _SQL_TWO_SIGNALS
+    + f""",
+dist AS (SELECT query_id, doc_id, 1e0 - sim AS dist FROM dense),
+g AS (
+  SELECT quantile_cont(dist, 0.5e0) AS beta_g,
+         coalesce(CASE WHEN stddev_pop(dist) > 1e-12
+                       THEN 1e0 / stddev_pop(dist) END, 1e0) AS kappa_g
+  FROM dist
+)
+SELECT query_id, doc_id,
+       round({_SIG.format(x='g.kappa_g * (g.beta_g - dist)')}, 6) AS p_kappa_r
+FROM dist CROSS JOIN g
+"""
+)
+
+SPARK_QUERIES["dense_kappa"] = q_dense_kappa
+ORACLE_SQL["dense_kappa"] = SQL_DENSE_KAPPA

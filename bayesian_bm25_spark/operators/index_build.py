@@ -278,7 +278,8 @@ def _local_tf(docs: DataFrame) -> DataFrame:
 
 
 def compute_postings(
-    docs: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig | None = None
+    docs: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig | None = None,
+    tf_source: DataFrame | None = None,
 ) -> DataFrame:
     """Lazy postings plan from docs(doc_id, tokens, doc_len).
 
@@ -288,9 +289,18 @@ def compute_postings(
     eager impact column (pure codegen) → term-bucket layout column for
     partition pruning.  ``local_tf=False`` keeps the explode →
     groupBy(term, doc) plan (two full shuffles of the tf rows: the
-    grouping and the df join)."""
+    grouping and the df join).
+
+    ``tf_source`` (doc_id, doc_len, term, tf) overrides the tf
+    computation entirely — the incremental-append path passes the old
+    index's tf facts unioned with the new docs' tf, so the old corpus's
+    token arrays are never re-read (``add_documents(reuse_tf=True)``);
+    df/impact are recomputed from the merged tf either way (they change
+    globally with every append: n_docs, avgdl, df)."""
     cfg = cfg or IndexConfig()
-    if getattr(cfg, "local_tf", True):
+    if tf_source is not None:
+        tf = tf_source.select("doc_id", "doc_len", "term", "tf")
+    elif getattr(cfg, "local_tf", True):
         tf = _local_tf(docs)
     else:
         tf = (
@@ -367,10 +377,15 @@ def build_index(
     path: str,
     config: IndexConfig | None = None,
     force: bool = False,
+    tf_source: DataFrame | None = None,
 ) -> BM25Index:
-    """Build (or resume building) the index at ``path``."""
+    """Build (or resume building) the index at ``path``.
+
+    ``tf_source``: precomputed (doc_id, doc_len, term, tf) facts that
+    replace the tokenize-and-count pass — the incremental-append path
+    (see ``add_documents(reuse_tf=True)``)."""
     with _read_split_cap(spark):
-        return _build_index_impl(spark, pages, path, config, force)
+        return _build_index_impl(spark, pages, path, config, force, tf_source)
 
 
 def _build_index_impl(
@@ -379,6 +394,7 @@ def _build_index_impl(
     path: str,
     config: IndexConfig | None = None,
     force: bool = False,
+    tf_source: DataFrame | None = None,
 ) -> BM25Index:
     cfg = config or IndexConfig()
     os.makedirs(path, exist_ok=True)
@@ -417,7 +433,7 @@ def _build_index_impl(
     postings = ckpt.run_stage(
         spark,
         postings_dir,
-        lambda: compute_postings(docs, n_docs, avgdl, cfg),
+        lambda: compute_postings(docs, n_docs, avgdl, cfg, tf_source=tf_source),
         stage="postings",
         inputs=[docs_dir],
         partition_by=["term_bucket"],
@@ -870,7 +886,8 @@ def _estimate_params(
 
 
 def add_documents(
-    index: BM25Index, new_pages: DataFrame, new_path: str
+    index: BM25Index, new_pages: DataFrame, new_path: str,
+    reuse_tf: bool = False,
 ) -> BM25Index:
     """Incremental append with full statistics rebuild.
 
@@ -880,6 +897,17 @@ def add_documents(
     is the same checkpointed DAG over `old docs ∪ new docs`; the old
     tokenization is reused (never recomputed), and df/avgdl/impact are
     plain re-aggregations.  New doc_ids continue after the old range.
+
+    ``reuse_tf=True``: tf rows are append-only FACTS — (doc_id, term,
+    tf, doc_len) never change once a doc is indexed — so the old
+    index's postings checkpoint (which carries exactly those columns)
+    seeds the merged tf and only the NEW docs' token arrays are ever
+    counted.  df/avgdl/impact still recompute over the merged tf (they
+    change globally: pure column math + one small agg), but the
+    token-stream pass scales with the DELTA, not the corpus — at
+    10^12 docs the difference between an append job and a full
+    re-tokenize.  Postings are content-identical to a full rebuild
+    (pytest-enforced, including compressed posting-list payload bytes).
     """
     spark = index.spark
     if "doc_id" in new_pages.columns:
@@ -898,6 +926,7 @@ def add_documents(
         new_docs = tokenize_pages(
             assign_doc_ids(new_pages, start_id=index.n_docs),
             stemmer=index.config.stemmer,
+            stopwords=index.config.stopwords,
         )
     combined = index.spark.read.parquet(os.path.join(index.path, "docs")).unionByName(new_docs)
     os.makedirs(new_path, exist_ok=True)
@@ -907,8 +936,22 @@ def add_documents(
         stage="docs",
         inputs=[os.path.join(index.path, "docs")],
     )
+    tf_source = None
+    if reuse_tf:
+        # the old postings checkpoint IS the tf fact store; re-reading
+        # it costs a columnar scan of 4 fixed-width columns, not a
+        # re-count of every token array.  New docs come off the docs
+        # checkpoint just written (doc_id >= old n_docs) so the tf pass
+        # reads the already-tokenized rows, not the raw pages.
+        appended = spark.read.parquet(os.path.join(new_path, "docs")).where(
+            F.col("doc_id") >= index.n_docs
+        )
+        tf_source = index.postings.select(
+            "doc_id", "doc_len", "term", "tf"
+        ).unionByName(_local_tf(appended).select("doc_id", "doc_len", "term", "tf"))
     # remaining stages rebuild from the docs checkpoint (pages unused)
-    return build_index(spark, combined.limit(0), new_path, index.config)
+    return build_index(spark, combined.limit(0), new_path, index.config,
+                       tf_source=tf_source)
 
 
 def load_index(spark: SparkSession, path: str) -> BM25Index:

@@ -41,6 +41,7 @@ def write_fixture(
     distractors_per_topic: int = 5,
     dim: int = 32,
     seed: int = 42,
+    lexical_noise_per_topic: int = 0,
 ) -> str:
     """Write corpus.jsonl / queries.jsonl / qrels/test.tsv +
     embeddings.npz (doc and query embeddings, keyed by external id).
@@ -94,6 +95,16 @@ def write_fixture(
             # ranker pulls these above the loose lexical relevants
             words = list(rng.choice(filler, 12))
             emit(" ".join(words), centroids[t] + rng.normal(0, 0.55, dim))
+        for j in range(lexical_noise_per_topic):
+            # off-topic pages that still contain ONE query term — the
+            # real-web-text property that makes BM25 match non-relevant
+            # docs; without these, every scored candidate is relevant
+            # (prevalence 1.0) and the base-rate calibration story has
+            # nothing to calibrate.  Isotropic embedding: dense doesn't
+            # rescue them.  Default 0 keeps older fixtures byte-stable.
+            words = [str(rng.choice(topic_vocab))] + list(rng.choice(filler, 11))
+            rng.shuffle(words)
+            emit(" ".join(words), rng.normal(0, 1, dim))
     for _ in range(noise_docs):
         words = list(rng.choice(filler, 12))
         emit(" ".join(words), rng.normal(0, 1, dim))

@@ -29,6 +29,7 @@ class TestQualityHarness:
             "vpt_balanced", "arctan_or", "gated_relu", "gated_swish",
             "gated_gelu", "gated_softplus", "logodds", "dense_arctan",
             "attention", "multihead", "cosine_or", "learnable",
+            "dense_kappa", "dense_platt",
         }
         for m in quality_results.values():
             assert 0.0 <= m["ndcg"] <= 1.0
@@ -64,3 +65,57 @@ class TestQualityHarness:
         mh = quality_results["multihead"]["ndcg"]
         assert mh > quality_results["bm25"]["ndcg"]
         assert mh > quality_results["dense"]["ndcg"]
+
+    def test_calibrated_dense_rows_are_monotone_transforms(self, quality_results):
+        """Dense-Kappa and Dense-Platt are monotone transforms of the
+        dense similarity (reference README.md:637 says so for base-rate;
+        σ(κ(β−d)) and σ(a·s+b) with a>0 likewise) — so their NDCG must
+        equal the raw dense row; they exist for the calibration story."""
+        dense = quality_results["dense"]["ndcg"]
+        assert abs(quality_results["dense_kappa"]["ndcg"] - dense) < 1e-9
+        assert abs(quality_results["dense_platt"]["ndcg"] - dense) < 1e-9
+
+
+class TestCalibrationByBaseRate:
+    def test_base_rate_improves_ece(self, spark, tmp_path_factory):
+        """The reference's second headline table (README.md:659-663):
+        ECE improves monotonically as base-rate handling improves —
+        no-base-rate ≫ percentile-auto > explicit-true-rate.  The
+        posterior with no base rate is wildly overconfident (mean p far
+        above prevalence); auto shrinks it; an explicit near-true rate
+        calibrates best."""
+        from bayesian_bm25_spark.operators.quality import (
+            evaluate_calibration_by_base_rate,
+        )
+        from bayesian_bm25_spark.sources.synthetic_beir import write_fixture
+
+        root = str(tmp_path_factory.mktemp("calib"))
+        # lexical_noise docs give BM25 non-relevant matches at ~0.002
+        # prevalence — the BEIR-like regime where base_rate=0.001 is
+        # near the true rate (without them every scored candidate is
+        # relevant and the story inverts)
+        fixture = write_fixture(
+            root, n_topics=4, lexical_per_topic=2, semantic_per_topic=2,
+            noise_docs=20, distractors_per_topic=2,
+            lexical_noise_per_topic=2000,
+        )
+        res = evaluate_calibration_by_base_rate(spark, fixture, root)
+        assert set(res) == {"no_base_rate", "base_rate_auto", "base_rate_0.001"}
+        none_, auto, expl = (
+            res["no_base_rate"], res["base_rate_auto"], res["base_rate_0.001"]
+        )
+        # the full monotone headline story (reference README.md:659-663:
+        # 0.65 → 0.15 (−78%) → 0.008 (−99%)); measured here:
+        # 0.327 → 0.005 (−98.5%) → 0.001 (−99.6%)
+        assert none_["ece"] > auto["ece"] > expl["ece"]
+        assert auto["ece"] < 0.25 * none_["ece"]
+        # overconfidence mechanism: no-base-rate mean p far above the
+        # actual prevalence; base-rate variants pull it toward truth
+        assert none_["mean_p"] > 10 * none_["mean_y"]
+        assert abs(auto["mean_p"] - auto["mean_y"]) < abs(
+            none_["mean_p"] - none_["mean_y"]
+        )
+        # Brier improves alongside ECE
+        assert none_["brier"] > auto["brier"]
+        for m in res.values():
+            assert 0.0 <= m["ece"] <= 1.0

@@ -201,6 +201,40 @@ class TestIncremental:
         assert idx2.params.alpha == pytest.approx(a, rel=1e-9)
         assert idx2.params.base_rate == pytest.approx(br, rel=1e-9)
 
+    def test_add_documents_reuse_tf_identical_to_rebuild(self, spark, tmp_path):
+        """reuse_tf=True seeds the merged tf from the old postings
+        checkpoint (token arrays of the old corpus never re-read) —
+        postings AND compressed posting-list payload bytes must be
+        content-identical to the full re-count path.  Stopwords in the
+        config exercise the append-side tokenizer parity."""
+        first = SIX_DOCS[:4]
+        extra = SIX_DOCS[4:]
+        cfg = IndexConfig(base_rate="auto", build_compressed=True,
+                          stopwords="english")
+        pages1 = spark.createDataFrame(
+            [(i, f"https://example.org/doc/{i}", t, "en") for i, t in enumerate(first)],
+            "doc_id long, url string, text string, lang string",
+        )
+        idx1 = build_index(spark, pages1, str(tmp_path / "w1"), cfg)
+        pages2 = spark.createDataFrame(
+            [(f"https://example.org/doc/{4 + i}", t, "en") for i, t in enumerate(extra)],
+            "url string, text string, lang string",
+        )
+        full = add_documents(idx1, pages2, str(tmp_path / "w_full"))
+        fast = add_documents(idx1, pages2, str(tmp_path / "w_fast"), reuse_tf=True)
+
+        cols = ["term_bucket", "term", "doc_id", "tf", "doc_len", "df", "impact"]
+        a = sorted(map(tuple, full.postings.select(cols).collect()))
+        b = sorted(map(tuple, fast.postings.select(cols).collect()))
+        assert a == b
+        pa = {r["term"]: (r["df"], bytes(r["payload"]))
+              for r in full.posting_lists.collect()}
+        pb = {r["term"]: (r["df"], bytes(r["payload"]))
+              for r in fast.posting_lists.collect()}
+        assert pa == pb
+        assert fast.n_docs == full.n_docs and fast.avgdl == full.avgdl
+        assert fast.params.to_dict() == full.params.to_dict()
+
 
 class TestPartialResume:
     def test_rebuild_only_missing_stages(self, spark, tmp_path):
