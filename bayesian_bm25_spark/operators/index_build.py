@@ -371,6 +371,20 @@ def _read_split_cap(spark: SparkSession, cap: str = "16m"):
                 spark.conf.unset(k)
 
 
+def _dir_bytes(d: str) -> int:
+    """Total bytes of the files directly under a checkpoint dir (the
+    local-FS analog of a catalog's table-size stat — used to size write
+    parallelism; on object storage swap in the listing API)."""
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -430,10 +444,48 @@ def _build_index_impl(
     t_phase = time.time()
 
     postings_dir = os.path.join(path, "postings")
+    # The postings plan consumes tf TWICE — once under the df agg, once
+    # as the probe side of the (broadcast) df join — and Spark does not
+    # dedupe common subplans, so without a persist the Arrow token-count
+    # pass (and at cluster scale, the docs-checkpoint scan feeding it)
+    # executes twice per build.  Persist tf across the two consumers for
+    # the duration of the stage write; released right after.  Resume
+    # path (checkpoint exists) never builds the plan, so nothing is
+    # cached there.
+    tf_cached = None
+
+    def build_postings() -> DataFrame:
+        nonlocal tf_cached
+        src = tf_source
+        if src is None and getattr(cfg, "local_tf", True):
+            src = _local_tf(docs)
+        if src is None:
+            return compute_postings(docs, n_docs, avgdl, cfg)
+        # covers the append path too: its union's _local_tf(new docs)
+        # leg would otherwise also execute twice
+        tf_cached = src.persist()
+        out = compute_postings(docs, n_docs, avgdl, cfg, tf_source=tf_cached)
+        # The cached probe pins the write's task count to the cache
+        # partition count (32 tasks × 32 bucket dirs = 1024 tiny files
+        # at 50k docs — measured to double every downstream postings
+        # scan via per-file open cost).  No exchange sits between cache
+        # and write for AQE to right-size, so size it ourselves from
+        # the docs checkpoint bytes: ~32 MB of docs per write task, a
+        # NARROW coalesce (no shuffle) — small corpora get few
+        # well-filled files, big corpora keep proportional parallelism.
+        n_write = max(
+            # parallelism floor: the post-cache work (BHJ + impact +
+            # parquet encode) is cheap but not free — don't serialize
+            # it onto 1-2 cores just to save a handful of files
+            min(8, spark.sparkContext.defaultParallelism),
+            -(-_dir_bytes(docs_dir) // (32 << 20)),
+        )
+        return out.coalesce(int(n_write))
+
     postings = ckpt.run_stage(
         spark,
         postings_dir,
-        lambda: compute_postings(docs, n_docs, avgdl, cfg, tf_source=tf_source),
+        build_postings,
         stage="postings",
         inputs=[docs_dir],
         partition_by=["term_bucket"],
@@ -443,6 +495,8 @@ def _build_index_impl(
         # zstd build default applies only to write-once checkpoints
         compression="snappy",
     )
+    if tf_cached is not None:
+        tf_cached.unpersist()
     serial_phase["postings"] = round(time.time() - t_phase, 2)
 
     term_stats_dir = os.path.join(path, "term_stats")

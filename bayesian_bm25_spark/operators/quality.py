@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bayesian_bm25_spark.functions import columns as C
@@ -70,8 +70,38 @@ def evaluate_fusion_matrix(
     )
 
     scored = Q.score_queries(idx.postings, ds.queries, prune_buckets=False)
-    sparse = Q.with_probability(scored, idx.params, idx.avgdl).select(
-        "query_id", "doc_id", "score", "probability"
+    # probability VARIANTS by base-rate strategy — the reference's
+    # matrix distinguishes scorer (no br) / scorer_br (percentile) /
+    # scorer_mix / scorer_elbow (hybrid_beir.py:1831-1846); each is the
+    # same posterior column under different TransformParams
+    from dataclasses import replace as _dc_replace
+
+    from bayesian_bm25_spark.operators.index_build import _estimate_params
+
+    docs_frame = spark.read.parquet(os.path.join(idx.path, "docs"))
+    params_mix = _estimate_params(
+        spark, docs_frame, idx.postings,
+        _dc_replace(idx.config, base_rate="auto", base_rate_method="mixture"),
+        idx.n_docs,
+    )
+    params_elbow = _estimate_params(
+        spark, docs_frame, idx.postings,
+        _dc_replace(idx.config, base_rate="auto", base_rate_method="elbow"),
+        idx.n_docs,
+    )
+    s = Q.with_probability(scored, idx.params, idx.avgdl)
+    for name, prm in [
+        ("p_nobr", _dc_replace(idx.params, base_rate=None)),
+        ("p_mix", params_mix),
+        ("p_elbow", params_elbow),
+    ]:
+        s = Q.with_probability(
+            s.withColumnRenamed("probability", "__keep"), prm, idx.avgdl
+        ).withColumnRenamed("probability", name).withColumnRenamed(
+            "__keep", "probability"
+        )
+    sparse = s.select(
+        "query_id", "doc_id", "score", "probability", "p_nobr", "p_mix", "p_elbow"
     )
 
     emb_docs, emb_queries = _load_npz_embeddings(spark, fixture_dir)
@@ -93,8 +123,12 @@ def evaluate_fusion_matrix(
         sparse.join(dense, ["query_id", "doc_id"], "full_outer")
         .withColumn("score", F.coalesce("score", F.lit(0.0)))
         .withColumn("p_sparse", F.coalesce("probability", F.lit(0.0)))
+        .withColumn("p_nobr", F.coalesce("p_nobr", F.lit(0.0)))
+        .withColumn("p_mix", F.coalesce("p_mix", F.lit(0.0)))
+        .withColumn("p_elbow", F.coalesce("p_elbow", F.lit(0.0)))
         .withColumn("cos_dense", F.coalesce("sim", F.lit(0.0)))
-        .select("query_id", "doc_id", "score", "p_sparse", "cos_dense")
+        .select("query_id", "doc_id", "score", "p_sparse", "p_nobr",
+                "p_mix", "p_elbow", "cos_dense")
         .localCheckpoint(eager=False)
     )
 
@@ -146,6 +180,11 @@ def evaluate_fusion_matrix(
     }
     rankings["dense_platt"] = _dense_platt_ranking(cands, ds.qrels, k=k)
     rankings.update(_learned_fusion_rankings(cands, ds.qrels, k=k))
+    rankings.update(
+        _extended_matrix_rankings(
+            cands, k=k, queries=ds.queries, qrels=ds.qrels, n_docs=idx.n_docs
+        )
+    )
 
     out: dict[str, dict[str, float]] = {}
     for name, ranking in rankings.items():
@@ -155,6 +194,299 @@ def evaluate_fusion_matrix(
             "map": mean_metric(average_precision(r, ds.qrels), "ap"),
             "p": mean_metric(precision_at_k(r, ds.qrels, k=k), "precision"),
         }
+    return out
+
+
+def _extended_matrix_rankings(
+    cands: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
+    qrels: DataFrame | None = None,
+    n_docs: int | None = None,
+) -> dict[str, DataFrame]:
+    """The rest of the reference's BASELINE_METHODS matrix
+    (hybrid_beir.py:1450-1468) over the harness's two signals:
+
+    - ``logodds_br``      — Bayesian-LogOdds-BR (:1831): ungated log-odds
+      conjunction of the BASE-RATED posterior with the dense prob (the
+      no-br variant is the ``logodds`` row).
+    - ``balanced_mix`` / ``balanced_elbow`` — Bayesian-Balanced-Mix /
+      -Elbow (:1840-1846): balanced fusion over posteriors whose base
+      rate came from the mixture / elbow estimator.
+    - ``gated_swish_b2``  — Bayesian-Gated-Swish-B2 (:1878): swish
+      gating with β=2.0.
+    - ``vector_balanced`` / ``vector_softplus`` — Bayesian-Vector-*
+      (:1964-1970): the dense signal VPT-density-ratio-calibrated
+      (distributed per-query applyInPandas, vector_ops.calibrate_per_query,
+      BM25-posterior importance weights per Section 4.3), then
+      std-balanced fusion / softplus conjunction (max_logit=10).
+    - ``vpt_bw_{0.2,0.5,1.0,2.0}`` — the Stage-7 bandwidth ablation
+      (:2020-2032): KDE forced, Silverman bandwidth scaled by c.
+
+    Protocol deltas vs the reference, disclosed: the exact backend's
+    decoupled sample (query-corpus distance sample + separate candidate
+    set) collapses here because the harness's candidate set IS the full
+    cross product at fixture scale; weights are the base-rated BM25
+    posteriors without the separability gate (no IVF diagnostics on the
+    exact path)."""
+    from bayesian_bm25_spark.operators import vector_ops as VO
+
+    base = cands.withColumn(
+        "p_dense", C.cosine_to_probability(F.col("cos_dense"))
+    )
+    out: dict[str, DataFrame] = {}
+
+    def _conj(name: str, cols: list[str], **kw) -> None:
+        out[name] = FO.topk_fused(
+            base.withColumn(
+                "fused",
+                C.log_odds_conjunction(F.array(*[F.col(c) for c in cols]), **kw),
+            ),
+            k=k,
+        )
+
+    _conj("logodds_br", ["p_sparse", "p_dense"], gating="none")
+    _conj("gated_swish_b2", ["p_sparse", "p_dense"], gating="swish",
+          gating_beta=2.0)
+    out["balanced_mix"] = FO.topk_fused(
+        FO.balanced_fusion(base.withColumn("p_sparse", F.col("p_mix"))), k=k
+    )
+    out["balanced_elbow"] = FO.topk_fused(
+        FO.balanced_fusion(base.withColumn("p_sparse", F.col("p_elbow"))), k=k
+    )
+
+    dcands = base.withColumn("distance", 1.0 - F.col("cos_dense"))
+    vpt = VO.fit_background(dcands)
+    cal = VO.calibrate_per_query(dcands, vpt, weight_col="p_sparse")
+    out["vector_balanced"] = FO.topk_fused(
+        FO.vpt_balanced_fusion(
+            cal.withColumn("p_dense", F.col("vector_prob"))
+        ),
+        k=k,
+    )
+    out["vector_softplus"] = FO.topk_fused(
+        cal.withColumn(
+            "fused",
+            C.log_odds_conjunction(
+                F.array(F.col("p_sparse"), F.col("vector_prob")),
+                gating="softplus", max_logit=10.0,
+            ),
+        ),
+        k=k,
+    )
+    for c in (0.2, 0.5, 1.0, 2.0):
+        bw = VO.calibrate_per_query(
+            dcands, vpt, weight_col="p_sparse", method="kde",
+            bandwidth_factor=c,
+        )
+        out[f"vpt_bw_{c}"] = FO.topk_fused(
+            FO.vpt_balanced_fusion(
+                bw.withColumn("p_dense", F.col("vector_prob"))
+            ),
+            k=k,
+        )
+    if queries is not None and qrels is not None and n_docs is not None:
+        out.update(
+            _attention_rich_rankings(cal, queries, qrels, n_docs, k=k)
+        )
+    return out
+
+
+def _attention_rich_rankings(
+    cal: DataFrame,
+    queries: DataFrame,
+    qrels: DataFrame,
+    n_docs: int,
+    k: int = 10,
+) -> dict[str, DataFrame]:
+    """The improved-attention quartet (reference hybrid_beir.py:2211-2301):
+
+    - ``attn_norm``      — Bayesian-Attn-Norm: AttentionLogOddsWeights
+      with per-signal logit min-max normalization over each query's
+      candidate set + 7 rich features (3 BM25 + 3 dense + top-100
+      retrieval-overlap Jaccard; :2060-2101).
+    - ``attn_norm_cv``   — Bayesian-Attn-Norm-CV: 5-fold CV (seeded
+      permutation :1386-1394) — the ONLY learned row whose every query
+      is scored by a model that never saw its qrels.
+    - ``multihead_norm`` — Bayesian-MultiHead-Norm: 4 heads, rich
+      features, normalize (:2286-2301).
+    - ``vector_attn``    — Bayesian-Vector-Attn: same as attn_norm but
+      the dense signal is the VPT-calibrated probability (:2230-2235).
+
+    Training follows the reference protocol directly (plain 500-iter GD,
+    lr 0.01, no checkpoint selection; in-dataset fit except the CV row).
+    Fits are bounded driver-side collects (fixture-scale candidate
+    table); application is DISTRIBUTED per-query ``applyInPandas`` —
+    normalization is a per-candidate-set operation, so a scalar UDF
+    cannot express it.  Feature deltas vs the reference, disclosed: the
+    top-10/top-100 dense statistics and the overlap Jaccard run over
+    the harness's candidate union rather than the full-corpus retrieval
+    the reference's in-memory backend sees."""
+    import pandas as pd
+
+    from bayesian_bm25_spark.kernel.combine import (
+        AttentionLogOddsWeights,
+        MultiHeadAttentionLogOddsWeights,
+    )
+
+    wb = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_dense"), F.asc("doc_id")
+    )
+    ranked = cal.withColumn("rb", F.row_number().over(wb)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    fq = ranked.groupBy("query_id").agg(
+        (F.sum((F.col("score") > 0).cast("int")) / float(n_docs)).alias("f2"),
+        F.log1p(F.greatest(F.max("score"), F.lit(0.0))).alias("f3"),
+        F.coalesce(
+            F.avg(F.when(F.col("rd") <= 10, F.col("cos_dense"))), F.lit(0.0)
+        ).alias("f4"),
+        F.coalesce(
+            F.stddev_pop(F.when(F.col("rd") <= 10, F.col("cos_dense"))),
+            F.lit(0.0),
+        ).alias("f5"),
+        F.log1p(F.greatest(F.max("cos_dense"), F.lit(0.0))).alias("f6"),
+        (
+            F.sum(((F.col("rb") <= 100) & (F.col("rd") <= 100)).cast("int"))
+            / F.greatest(
+                F.sum(((F.col("rb") <= 100) | (F.col("rd") <= 100)).cast("int")),
+                F.lit(1),
+            )
+        ).alias("f7"),
+    )
+    qlen = queries.select(
+        "query_id", F.log1p(F.size("terms").cast("double")).alias("f1")
+    )
+    FEATS = ["f1", "f2", "f3", "f4", "f5", "f6", "f7"]
+    feats = (
+        cal.join(F.broadcast(qlen), "query_id")
+        .join(F.broadcast(fq), "query_id")
+        .localCheckpoint(eager=False)
+    )
+
+    train = (
+        feats.join(
+            qrels.select("query_id", "doc_id", "relevance"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .withColumn("relevance", F.coalesce("relevance", F.lit(0)))
+        .select(
+            "query_id", "doc_id", "p_sparse", "p_dense", "vector_prob",
+            *FEATS, "relevance",
+        )
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+    )
+    labels = (train["relevance"].to_numpy() > 0).astype(np.float64)
+    qf = train[FEATS].to_numpy(dtype=np.float64)
+    qid = train["query_id"].to_numpy()
+    sig_cos = np.column_stack(
+        [train["p_sparse"].to_numpy(), train["p_dense"].to_numpy()]
+    )
+    sig_vpt = np.column_stack(
+        [train["p_sparse"].to_numpy(), train["vector_prob"].to_numpy()]
+    )
+
+    def _fit_attention(signals: np.ndarray, mask=None) -> AttentionLogOddsWeights:
+        m = AttentionLogOddsWeights(2, len(FEATS), alpha=0.5, normalize=True)
+        sel = slice(None) if mask is None else mask
+        m.fit(
+            signals[sel], labels[sel], qf[sel], query_ids=qid[sel],
+            learning_rate=0.01, max_iterations=500,
+        )
+        return m
+
+    def _apply(models: dict, dense_col: str, name: str) -> DataFrame:
+        """One applyInPandas per row-group; ``models`` maps query_id →
+        (W, b) — a single global model broadcasts as the None key."""
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        packed = {
+            q: [(h[0].copy(), h[1].copy()) for h in heads]
+            for q, heads in models.items()
+        }
+        schema = StructType(
+            list(feats.schema.fields) + [StructField("fused", DoubleType())]
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            q = pdf["query_id"].iloc[0]
+            heads = packed.get(q, packed.get(None))
+            pdf = pdf.sort_values("doc_id").copy()
+            probs = np.column_stack(
+                [pdf["p_sparse"].to_numpy(), pdf[dense_col].to_numpy()]
+            )
+            qfl = pdf[FEATS].to_numpy(dtype=np.float64)
+            outs = []
+            for W, b in heads:
+                hm = AttentionLogOddsWeights(2, len(FEATS), alpha=0.5,
+                                             normalize=True, seed=0)
+                hm.W, hm.b = W, b
+                hm.W_avg, hm.b_avg = W, b
+                outs.append(
+                    np.atleast_1d(hm(probs, qfl, use_averaged=True))
+                )
+            from bayesian_bm25_spark.kernel.transform import logit as klogit
+            from bayesian_bm25_spark.kernel.transform import sigmoid as ksig
+            fused = (
+                outs[0]
+                if len(outs) == 1
+                else ksig(np.mean([klogit(np.clip(o, 1e-10, 1 - 1e-10))
+                                   for o in outs], axis=0))
+            )
+            pdf["fused"] = fused
+            return pdf
+
+        return feats.groupBy("query_id").applyInPandas(run, schema=schema)
+
+    out: dict[str, DataFrame] = {}
+    attn = _fit_attention(sig_cos)
+    out["attn_norm"] = FO.topk_fused(
+        _apply({None: [(attn.W, attn.b)]}, "p_dense", "attn_norm"), k=k
+    )
+    vattn = _fit_attention(sig_vpt)
+    out["vector_attn"] = FO.topk_fused(
+        _apply({None: [(vattn.W, vattn.b)]}, "vector_prob", "vector_attn"), k=k
+    )
+
+    mh = MultiHeadAttentionLogOddsWeights(2, len(FEATS), n_heads=4,
+                                          alpha=0.5, normalize=True)
+    mh.fit(sig_cos, labels, qf, query_ids=qid, learning_rate=0.01,
+           max_iterations=500)
+    out["multihead_norm"] = FO.topk_fused(
+        _apply({None: [(h.W, h.b) for h in mh.heads]}, "p_dense",
+               "multihead_norm"),
+        k=k,
+    )
+
+    # 5-fold CV: seeded permutation of the query ids, contiguous folds
+    # (reference :1386-1394); each fold's queries are scored by a model
+    # fit on the OTHER folds only
+    uq = np.array(sorted(set(qid.tolist())))
+    perm = np.random.default_rng(42).permutation(len(uq))
+    n_folds = 5
+    fold_size = max(1, len(uq) // n_folds)
+    cv_models: dict = {}
+    for i in range(n_folds):
+        start = i * fold_size
+        end = len(uq) if i == n_folds - 1 else start + fold_size
+        test_q = {uq[perm[j]] for j in range(start, min(end, len(uq)))}
+        if not test_q:
+            continue
+        mask = ~np.isin(qid, list(test_q))
+        if labels[mask].sum() == 0 or (1 - labels[mask]).sum() == 0:
+            continue
+        m = _fit_attention(sig_cos, mask=mask)
+        for q in test_q:
+            cv_models[q] = [(m.W, m.b)]
+    if cv_models:
+        # queries whose fold was skipped fall back to the global model
+        cv_models[None] = [(attn.W, attn.b)]
+        out["attn_norm_cv"] = FO.topk_fused(
+            _apply(cv_models, "p_dense", "attn_norm_cv"), k=k
+        )
     return out
 
 
@@ -255,8 +587,18 @@ def _learned_fusion_rankings(
         "gated_swish": _gated("swish"),
         "gated_gelu": _gated("gelu"),
         "gated_softplus": _gated("softplus"),
-        # Bayesian-LogOdds: ungated posterior log-odds conjunction
-        "logodds": _gated("none"),
+        # Bayesian-LogOdds: ungated posterior log-odds conjunction over
+        # the NO-base-rate posterior (reference :1822 fuses the plain
+        # scorer; the base-rated variant is the ``logodds_br`` row)
+        "logodds": FO.topk_fused(
+            feats.withColumn(
+                "fused",
+                C.log_odds_conjunction(
+                    F.array("p_nobr", "p_dense"), gating="none"
+                ),
+            ),
+            k=k,
+        ),
         # Dense-Arctan: the arctan-calibrated dense signal alone
         "dense_arctan": FO.topk_fused(
             feats.withColumn(

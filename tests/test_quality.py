@@ -30,6 +30,10 @@ class TestQualityHarness:
             "gated_gelu", "gated_softplus", "logodds", "dense_arctan",
             "attention", "multihead", "cosine_or", "learnable",
             "dense_kappa", "dense_platt",
+            "logodds_br", "gated_swish_b2", "balanced_mix", "balanced_elbow",
+            "vector_balanced", "vector_softplus",
+            "vpt_bw_0.2", "vpt_bw_0.5", "vpt_bw_1.0", "vpt_bw_2.0",
+            "attn_norm", "attn_norm_cv", "multihead_norm", "vector_attn",
         }
         for m in quality_results.values():
             assert 0.0 <= m["ndcg"] <= 1.0

@@ -32,10 +32,26 @@ def main() -> None:
     )
     from bayesian_bm25_spark.sources.synthetic_beir import write_fixture
 
+    from bayesian_bm25_spark.operators.quality import (
+        evaluate_calibration_by_base_rate,
+        format_calibration_table,
+    )
+
     work = tempfile.mkdtemp(prefix="quality_beir_")
     fixture = write_fixture(work)
     results = evaluate_fusion_matrix(spark, fixture, work, k=10)
     table = format_quality_table(results, k=10)
+
+    # calibration story runs on its own fixture instance: lexical-noise
+    # docs give BM25 non-relevant matches at ~0.002 prevalence — the
+    # BEIR-like regime the reference's ECE table describes
+    calib_work = tempfile.mkdtemp(prefix="quality_calib_")
+    calib_fixture = write_fixture(
+        calib_work, n_topics=4, lexical_per_topic=2, semantic_per_topic=2,
+        noise_docs=20, distractors_per_topic=2, lexical_noise_per_topic=2000,
+    )
+    calib = evaluate_calibration_by_base_rate(spark, calib_fixture, calib_work)
+    calib_table = format_calibration_table(calib)
 
     out = os.path.join(ROOT, "BENCH", "QUALITY.md")
     with open(out, "w") as f:
@@ -56,6 +72,18 @@ so a fusion lift over BOTH single signals is the expected (and
 asserted: tests/test_quality.py) outcome, exactly the regime the
 reference's hybrid pipeline targets.
 
+**Caveat — learned rows are train-on-test:** the `learnable`,
+`attention`, `multihead`, `attn_norm`, `multihead_norm`, and
+`vector_attn` rows fit their fusion weights on the SAME fixture qrels
+they are then scored against (no held-out split exists on a 20-topic
+fixture; the reference's own BEIR protocol also trains attention on
+the dataset it evaluates, hybrid_beir.py:1300-1356).  The `attn_norm_cv`
+row is the exception: 5-fold cross-validation, every query scored by a
+model that never saw its qrels — the only learned row with a held-out
+protocol.  `dense_platt` likewise fits on in-dataset labels (the
+reference's own protocol).  None of these reproduce the reference's
+published BEIR numbers — different corpus, same machinery.
+
 MAP is the reference's own AP definition (benchmarks/metrics.py:62-74:
 mean precision over relevant docs found in the list, not normalized by
 total relevants — a precise-but-shallow ranker can reach 1.0).  NDCG@10
@@ -63,6 +91,19 @@ is the headline column.
 
 """
             + table
+            + """
+
+## Calibration by base-rate strategy
+
+The reference's second headline table (README.md:659-663: ECE
+0.65 → 0.15 (−78%) → 0.008 (−99%) on BEIR as base-rate handling
+improves).  Same scored candidates, three posterior variants, labels
+from qrels (unjudged = 0); fixture prevalence ≈ 0.002, so the explicit
+0.001 rate is near-true — the regime the published table describes.
+Asserted monotone in tests/test_quality.py::TestCalibrationByBaseRate.
+
+"""
+            + calib_table
             + "\n\nHarness: `bayesian_bm25_spark/operators/quality.py` — the same\n"
             "DataFrame plans run unchanged on a real BEIR dump (pass its\n"
             "directory + an `embeddings.npz` sidecar).\n"
