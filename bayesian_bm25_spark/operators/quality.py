@@ -101,7 +101,8 @@ def evaluate_fusion_matrix(
             "__keep", "probability"
         )
     sparse = s.select(
-        "query_id", "doc_id", "score", "probability", "p_nobr", "p_mix", "p_elbow"
+        "query_id", "doc_id", "score", "probability", "p_nobr", "p_mix",
+        "p_elbow", "tf_match", "doc_len",
     )
 
     emb_docs, emb_queries = _load_npz_embeddings(spark, fixture_dir)
@@ -126,9 +127,11 @@ def evaluate_fusion_matrix(
         .withColumn("p_nobr", F.coalesce("p_nobr", F.lit(0.0)))
         .withColumn("p_mix", F.coalesce("p_mix", F.lit(0.0)))
         .withColumn("p_elbow", F.coalesce("p_elbow", F.lit(0.0)))
+        .withColumn("tf_match", F.coalesce("tf_match", F.lit(0.0)))
+        .withColumn("doc_len", F.coalesce("doc_len", F.lit(0.0)))
         .withColumn("cos_dense", F.coalesce("sim", F.lit(0.0)))
         .select("query_id", "doc_id", "score", "p_sparse", "p_nobr",
-                "p_mix", "p_elbow", "cos_dense")
+                "p_mix", "p_elbow", "tf_match", "doc_len", "cos_dense")
         .localCheckpoint(eager=False)
     )
 
@@ -179,6 +182,9 @@ def evaluate_fusion_matrix(
         ),
     }
     rankings["dense_platt"] = _dense_platt_ranking(cands, ds.qrels, k=k)
+    rankings.update(
+        _tuned_rankings(spark, cands, ds.qrels, idx.params, idx.avgdl, k=k)
+    )
     rankings.update(_learned_fusion_rankings(cands, ds.qrels, k=k))
     rankings.update(
         _extended_matrix_rankings(
@@ -488,6 +494,139 @@ def _attention_rich_rankings(
             _apply(cv_models, "p_dense", "attn_norm_cv"), k=k
         )
     return out
+
+
+def _tuned_rankings(
+    spark: SparkSession,
+    cands: DataFrame,
+    qrels: DataFrame,
+    params,
+    avgdl: float,
+    k: int = 10,
+) -> dict[str, DataFrame]:
+    """The reference's TUNED_METHODS trio (hybrid_beir.py:1467,
+    grid_search_tuned :1001-1093):
+
+    - ``tuned``            — Bayesian-Tuned: base_rate grid
+      {None, 0.001, 0.005, 0.01, 0.05, 0.1, auto} → posterior with the
+      NDCG@k-best rate.
+    - ``balanced_tuned``   — Bayesian-Balanced-Tuned: fusion weight grid
+      0.0..1.0 (step 0.1) over balanced fusion with the tuned transform.
+    - ``hybrid_and_tuned`` — Bayesian-Hybrid-AND-Tuned: n^α exponent
+      grid {0, 0.25, 0.5, 0.75, 1.0} for the log-odds conjunction.
+
+    Tuning protocol: grids are scored on a seeded HALF of the queries
+    (the reference's ``tune=True`` 50/50 split, :2352+); the reported
+    row metrics (like every row) cover all queries, so the other half
+    is genuinely held out.  The grid itself runs driver-side on the
+    collected candidate table — the reference's own protocol is driver
+    numpy; at real scale the winning config re-runs as the usual
+    distributed plan, which is exactly what the returned rankings are."""
+    import pandas as pd
+
+    from bayesian_bm25_spark.kernel.combine import (
+        log_odds_conjunction as k_conj,
+    )
+    from bayesian_bm25_spark.kernel.combine import min_max_normalize
+    from bayesian_bm25_spark.kernel.transform import (
+        TransformParams,
+        clamp01,
+        logit,
+    )
+
+    pdf = (
+        cands.join(
+            qrels.select("query_id", "doc_id", "relevance"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .withColumn("relevance", F.coalesce("relevance", F.lit(0)))
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    qid = pdf["query_id"].to_numpy()
+    rel = pdf["relevance"].to_numpy().astype(np.float64)
+    score = pdf["score"].to_numpy()
+    tf = pdf["tf_match"].to_numpy(dtype=np.float64)
+    ratio = pdf["doc_len"].to_numpy(dtype=np.float64) / float(avgdl)
+    p_dense = clamp01((1.0 + pdf["cos_dense"].to_numpy()) / 2.0)
+    doc = pdf["doc_id"].to_numpy()
+    uq = np.array(sorted(set(qid.tolist())))
+    train_q = set(uq[np.random.default_rng(42).permutation(len(uq))[: len(uq) // 2]].tolist())
+    train_mask = np.isin(qid, list(train_q))
+
+    def _posterior(br) -> np.ndarray:
+        t = TransformParams(alpha=params.alpha, beta=params.beta, base_rate=br)
+        out = np.zeros(len(score))
+        m = score > 0
+        if m.any():
+            out[m] = t.score_to_probability(score[m], tf[m], ratio[m])
+        return out
+
+    def _mean_ndcg(fused: np.ndarray, mask=None) -> float:
+        vals = []
+        for q in uq:
+            if mask is not None and q not in mask:
+                continue
+            s = qid == q
+            order = np.lexsort((doc[s], -fused[s]))[:k]
+            g = rel[s][order]
+            dcg = float(np.sum((2.0 ** g - 1) / np.log2(np.arange(len(g)) + 2.0)))
+            ig = np.sort(rel[s])[::-1][:k]
+            idcg = float(np.sum((2.0 ** ig - 1) / np.log2(np.arange(len(ig)) + 2.0)))
+            vals.append(dcg / idcg if idcg > 0 else 0.0)
+        return float(np.mean(vals)) if vals else 0.0
+
+    br_grid = [None, 0.001, 0.005, 0.01, 0.05, 0.1, params.base_rate]
+    seen, grid = set(), []
+    for b in br_grid:
+        key = round(b, 10) if b is not None else None
+        if key not in seen:
+            seen.add(key)
+            grid.append(b)
+    best_br = max(grid, key=lambda b: _mean_ndcg(_posterior(b), mask=train_q))
+    p_tuned = _posterior(best_br)
+
+    def _balanced(w: float) -> np.ndarray:
+        ls, ld = logit(clamp01(p_tuned)), logit(p_dense)
+        out = np.zeros(len(ls))
+        for q in uq:
+            s = qid == q
+            out[s] = w * min_max_normalize(ld[s]) + (1 - w) * min_max_normalize(ls[s])
+        return out
+
+    best_w = max(
+        [round(w * 0.1, 1) for w in range(11)],
+        key=lambda w: _mean_ndcg(_balanced(w), mask=train_q),
+    )
+
+    def _hybrid(ha: float) -> np.ndarray:
+        return np.atleast_1d(
+            k_conj(np.column_stack([p_tuned, p_dense]), alpha=ha)
+        )
+
+    best_ha = max(
+        [0.0, 0.25, 0.5, 0.75, 1.0],
+        key=lambda a: _mean_ndcg(_hybrid(a), mask=train_q),
+    )
+
+    def _ranking(fused: np.ndarray) -> DataFrame:
+        rows = []
+        for q in uq:
+            s = qid == q
+            order = np.lexsort((doc[s], -fused[s]))[:k]
+            rows.extend(
+                (int(q) if not isinstance(q, str) else q, r + 1, int(doc[s][order[r]]))
+                for r in range(len(order))
+            )
+        return spark.createDataFrame(rows, "query_id long, rank int, doc_id long")
+
+    return {
+        "tuned": _ranking(p_tuned),
+        "balanced_tuned": _ranking(_balanced(best_w)),
+        "hybrid_and_tuned": _ranking(_hybrid(best_ha)),
+    }
 
 
 def _dense_platt_ranking(cands: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:

@@ -34,6 +34,7 @@ class TestQualityHarness:
             "vector_balanced", "vector_softplus",
             "vpt_bw_0.2", "vpt_bw_0.5", "vpt_bw_1.0", "vpt_bw_2.0",
             "attn_norm", "attn_norm_cv", "multihead_norm", "vector_attn",
+            "tuned", "balanced_tuned", "hybrid_and_tuned",
         }
         for m in quality_results.values():
             assert 0.0 <= m["ndcg"] <= 1.0
