@@ -81,8 +81,12 @@ the dataset it evaluates, hybrid_beir.py:1300-1356).  The `attn_norm_cv`
 row is the exception: 5-fold cross-validation, every query scored by a
 model that never saw its qrels — the only learned row with a held-out
 protocol.  `dense_platt` likewise fits on in-dataset labels (the
-reference's own protocol).  None of these reproduce the reference's
-published BEIR numbers — different corpus, same machinery.
+reference's own protocol).  The `tuned`/`balanced_tuned`/
+`hybrid_and_tuned` grids select on a seeded HALF of the queries (the
+reference's tune=True 50/50 split), so their other half is held out.
+None of these reproduce the reference's published BEIR numbers —
+different corpus, same machinery.  MultiField rows are skipped exactly
+as the reference skips them on title-less datasets (hybrid_beir.py:1641).
 
 MAP is the reference's own AP definition (benchmarks/metrics.py:62-74:
 mean precision over relevant docs found in the list, not normalized by
