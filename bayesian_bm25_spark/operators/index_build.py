@@ -461,6 +461,10 @@ def _build_index_impl(
             src = _local_tf(docs)
         if src is None:
             return compute_postings(docs, n_docs, avgdl, cfg)
+        if os.environ.get("BB25_TF_PERSIST", "1") == "0":
+            # A/B kill-switch (BENCH/BASELINE.md r5 §1): revert to the
+            # double-compute plan without the cache
+            return compute_postings(docs, n_docs, avgdl, cfg, tf_source=src)
         # covers the append path too: its union's _local_tf(new docs)
         # leg would otherwise also execute twice
         tf_cached = src.persist()

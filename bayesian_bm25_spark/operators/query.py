@@ -56,26 +56,28 @@ def prune_query_terms_buckets(
     With ``driver_terms`` (the facade path — query tokens already live on
     the driver) the bucket set is computed locally via the pure-Python
     replica of Spark's xxhash64 (functions/xxhash.py, golden-tested) —
-    zero Spark jobs.  Without it, one tiny blocking job over the
-    (driver-created) query relation learns the buckets.
+    zero Spark jobs, and an every-bucket batch skips the filter
+    entirely (a 1000-query Zipf batch covers all 32).
 
-    Large query batches hit every bucket (a 1000-query Zipf batch covers
-    all 32); in that case the filter is a no-op predicate evaluated per
-    row — skip it entirely."""
+    Without driver terms (DataFrame-resident query batches), the prune
+    is a broadcast LEFT SEMI join on ``term_bucket`` — lazy, no driver
+    collect, no blocking job per batch; the postings parquet is
+    directory-partitioned by ``term_bucket``, so Spark's dynamic
+    partition pruning turns the broadcast bucket set into file-level
+    skipping at scan time.  (Earlier rounds ran a tiny blocking
+    ``distinct().collect()`` here — fine once, wrong inside a per-batch
+    service loop.)"""
     if driver_terms is not None:
         from bayesian_bm25_spark.functions.xxhash import term_bucket
 
         buckets = sorted({term_bucket(t, n_buckets) for t in driver_terms})
-    else:
-        buckets = [
-            r["b"]
-            for r in qterms.select(
-                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
-            ).distinct().collect()
-        ]
-    if len(buckets) >= n_buckets:
-        return postings
-    return postings.where(F.col("term_bucket").isin(buckets))
+        if len(buckets) >= n_buckets:
+            return postings
+        return postings.where(F.col("term_bucket").isin(buckets))
+    bucket_rel = qterms.select(
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("term_bucket")
+    ).distinct()
+    return postings.join(F.broadcast(bucket_rel), "term_bucket", "left_semi")
 
 
 def prepartition_for_scoring(
