@@ -34,6 +34,11 @@ def child() -> None:
     n_queries = int(os.environ.get("WS_N_QUERIES", "1000"))
     spark = (
         SparkSession.builder.appName("warm-sweep")
+        # local-cluster workers launch executors with the APP's requested
+        # memory from the spark conf — the spark-submit --executor-memory
+        # flag does NOT reach them (measured: 434 MiB block managers);
+        # set it on the session builder like bench.py does
+        .config("spark.executor.memory", os.environ.get("WS_EXEC_MEM", "20g"))
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
