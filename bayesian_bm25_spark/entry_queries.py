@@ -2858,3 +2858,29 @@ FROM dist CROSS JOIN g
 
 SPARK_QUERIES["dense_kappa"] = q_dense_kappa
 ORACLE_SQL["dense_kappa"] = SQL_DENSE_KAPPA
+
+
+# ---------------------------------------------------------------------
+# final registry order
+# ---------------------------------------------------------------------
+# The driver's correctness sweep has twice recorded exactly the FIRST 50
+# entries of this dict in insertion order (CORRECTNESS_r04 and _r05 both
+# hold insertions 1-50; the two absent rows are exactly insertions 51-52,
+# while post-literal insertions 49-50 appear fine), so the registry is
+# rebuilt here in an explicit order: the two entries the record has never
+# seen (multihead_fusion, dense_kappa) move to the front, and the two
+# rotated to the tail (pricing_summary, top_customers) are plain TPC-H
+# aggregates green in every correctness file since round 1.  If the sweep
+# records all entries, order is irrelevant; if it truncates, nothing
+# stays permanently untested.
+_NEVER_RECORDED = ["multihead_fusion", "dense_kappa"]
+_ROTATED_TAIL = ["pricing_summary", "top_customers"]
+SPARK_QUERIES = {
+    **{k: SPARK_QUERIES[k] for k in _NEVER_RECORDED},
+    **{
+        k: v
+        for k, v in SPARK_QUERIES.items()
+        if k not in _NEVER_RECORDED and k not in _ROTATED_TAIL
+    },
+    **{k: SPARK_QUERIES[k] for k in _ROTATED_TAIL},
+}
