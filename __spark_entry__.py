@@ -46,12 +46,13 @@ def oracle_sql() -> dict[str, str]:
     (e.g. the parquet is absent) the entry degrades to the rows-only
     check instead of breaking the suite.
 
-    Entries absent here (ivf_topk, vector_calibrated_topk) are
-    non-SQL-expressible (iterative k-means / per-query EM) and get the
-    driver's rows-only check; their exactness is covered by pytest
-    goldens against the numpy kernel.  Everything else — including the
-    binary posting-list codec, whose exact compressed byte sizes the
-    SQL predicts from the varbyte layout — is oracle-checked (42/44).
+    Every registered entry is oracle-checked: the iterative fits
+    (isotonic PAVA, IVF k-means centroids, per-query KDE/GMM vector
+    calibration) use data-dependent builders that fit driver-side and
+    inline ONLY the fitted parameters into the SQL, which then evaluates
+    the model, the posterior, and the top-k itself.  The binary
+    posting-list codec is checked too — the SQL predicts the exact
+    varbyte byte sizes from the layout.
     """
     out = dict(ORACLE_SQL)
     for name, build in ORACLE_SQL_BUILDERS.items():

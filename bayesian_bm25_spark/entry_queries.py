@@ -2424,8 +2424,10 @@ def q_vector_background_fit(spark, sf_dir):
     )
 
 
-SQL_VECTOR_BACKGROUND_FIT = """
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+# shared distance CTE chain: pairwise round-9 cosine distances of every
+# embedding against the vec_id%100==0 query set (the determinism contract
+# both vector entries ride)
+_SQL_VDIST = """emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
 dist AS (
   SELECT q.query_id, emb.vec_id,
@@ -2436,7 +2438,10 @@ dist AS (
                                   * sqrt(list_dot_product(q.qe, q.qe)))
                           ELSE 0e0 END, 9) AS d
   FROM emb CROSS JOIN q
-),
+)"""
+
+SQL_VECTOR_BACKGROUND_FIT = f"""
+WITH {_SQL_VDIST},
 bg AS (SELECT avg(d) AS mu_g, stddev_pop(d) AS sigma_g FROM dist),
 ord AS (
   SELECT query_id, vec_id, d,
@@ -2476,26 +2481,158 @@ FROM flags f CROSS JOIN bg b
 
 
 def q_vector_calibrated_topk(spark, sf_dir):
-    """Density-ratio vector calibration (KDE/GMM auto-routing) —
-    rows-only: iterative EM per candidate set.  The SQL-expressible
-    stages (distances, background fit, gap detection) are oracle-checked
-    separately in ``vector_background_fit``; per-prob monotonicity under
-    binary gap weights is property-tested (test_properties)."""
+    """Density-ratio vector calibration (KDE/GMM auto-routing; reference
+    vector_probability.py:296-535) with a data-dependent SQL oracle
+    (``build_sql_vector_calibrated_topk``): the per-query EM/KDE fit runs
+    driver-side at oracle-build time and the fitted params are inlined.
+
+    Cross-engine determinism contract (same as ``vector_background_fit``):
+    distances are rounded to 9 decimals BEFORE any calibration math, so
+    both engines fit/evaluate on bit-identical float64 inputs; ranks
+    order by the same round-6 prob the output reports (ties broken by
+    vec_id), so a sub-1e-6 engine drift can't flip a rank without
+    already flipping the reported value."""
     from bayesian_bm25_spark.operators import vector_ops as VO
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    dists = VO.distances_from_embeddings(emb, queries)
+    dists = VO.distances_from_embeddings(emb, queries).withColumn(
+        "distance", F.round("distance", 9)
+    )
     vpt = VO.fit_background(dists, base_rate=0.05)
     cal = VO.calibrate_per_query(dists, vpt)
-    w = Window.partitionBy("query_id").orderBy(F.desc("vector_prob"), F.asc("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("vector_prob", 6)), F.asc("vec_id")
+    )
     return (
         cal.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
         .select("query_id", "rank", "vec_id", F.round("vector_prob", 6).alias("vprob_r"))
     )
+
+
+def build_sql_vector_calibrated_topk(sf_dir: str | None = None) -> str:
+    """Data-dependent oracle for the density-ratio vector calibration
+    (reference vector_probability.py:296-535): compute the SAME round-9
+    distance table in DuckDB, replicate the auto-routing driver-side
+    with the numpy kernel (gap→KDE for n≥50, gap→GMM for n<50, no
+    gap→GMM with distance-density weights), and inline ONLY the fitted
+    parameters — (h, thr, m) for KDE queries, (μ_R, σ_R) for GMM
+    queries, plus the global background (μ_G, σ_G) — into SQL that
+    evaluates the densities, the log-ratio posterior
+    σ(ln(f_R/f_G) + logit(0.05)), and the per-query top-10.  The KDE
+    density itself is computed in SQL (a per-query join against the
+    below-threshold signal set), not precomputed: the inlined constants
+    are model parameters, same contract as the isotonic/IVF builders."""
+    import math
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from bayesian_bm25_spark.kernel.vector_calibrate import (
+        EPS,
+        VectorProbabilityTransform,
+        detect_gap,
+        distance_density_weights,
+        gap_weights,
+        silverman_bandwidth,
+    )
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    rows = con.sql(
+        f"WITH {_SQL_VDIST} SELECT query_id, vec_id, d FROM dist "
+        "ORDER BY query_id, vec_id"
+    ).fetchall()
+    mu_g, sigma_g = con.sql(
+        f"WITH {_SQL_VDIST} SELECT avg(d), stddev_pop(d) FROM dist"
+    ).fetchone()
+    con.close()
+    mu_g, sigma_g = float(mu_g), max(float(sigma_g), EPS)
+    vpt = VectorProbabilityTransform(mu_g, sigma_g, base_rate=0.05)
+
+    per_q: dict[int, list[float]] = {}
+    for qid, _vid, d in rows:
+        per_q.setdefault(int(qid), []).append(float(d))
+    par_rows = []
+    for qid in sorted(per_q):
+        d = np.asarray(per_q[qid], dtype=np.float64)
+        gw = gap_weights(d)
+        if gw is not None and len(d) >= 50:
+            idx = detect_gap(d)
+            thr = float(np.sort(d)[idx])
+            m = int(np.sum(d < thr))
+            if m == 0:  # empty signal set: kernel_density floors to EPS
+                par_rows.append((qid, 2, 1.0, 0.0, 1, 0.0, 1.0))
+                continue
+            h = silverman_bandwidth(d, gw) * 2.0
+            par_rows.append((qid, 1, h, thr, m, 0.0, 1.0))
+        else:
+            w = gw if gw is not None else distance_density_weights(d)
+            mu_r, sigma_r, _pi = vpt.fit_gmm_params(d, w)
+            par_rows.append((qid, 0, 1.0, 0.0, 1, mu_r, sigma_r))
+
+    vals = ", ".join(
+        f"({qid}, {k}, {_sql_double(h)}, {_sql_double(thr)}, {m}, "
+        f"{_sql_double(mu)}, {_sql_double(sg)})"
+        for qid, k, h, thr, m, mu, sg in par_rows
+    )
+    coeff_g = _sql_double(1.0 / (sigma_g * math.sqrt(2.0 * math.pi)))
+    zg = f"((f.d - {_sql_double(mu_g)}) / {_sql_double(sigma_g)})"
+    logit_br = _sql_double(math.log(0.05 / 0.95))
+    post = _SIG.format(
+        x=f"ln(f.f_r / greatest({coeff_g} * exp(-0.5e0 * {zg} * {zg}), 1e-10))"
+          f" + {logit_br}"
+    )
+    return f"""
+WITH {_SQL_VDIST},
+par(query_id, is_kde, h, thr, m, mu_r, sigma_r) AS (VALUES {vals}),
+fr_kde AS (
+  SELECT e.query_id, e.vec_id, e.d,
+         greatest(coalesce(sum(exp(-0.5e0 * ((e.d - s.d) / p.h)
+                                          * ((e.d - s.d) / p.h))), 0e0)
+                  / (p.h * sqrt(2e0 * pi()) * p.m), 1e-10) AS f_r
+  FROM dist e
+  JOIN par p ON p.query_id = e.query_id AND p.is_kde = 1
+  LEFT JOIN dist s ON s.query_id = e.query_id AND s.d < p.thr
+  GROUP BY e.query_id, e.vec_id, e.d, p.h, p.m
+),
+fr_gmm AS (
+  SELECT e.query_id, e.vec_id, e.d,
+         greatest(exp(-0.5e0 * ((e.d - p.mu_r) / p.sigma_r)
+                             * ((e.d - p.mu_r) / p.sigma_r))
+                  / (p.sigma_r * sqrt(2e0 * pi())), 1e-10) AS f_r
+  FROM dist e JOIN par p ON p.query_id = e.query_id AND p.is_kde = 0
+),
+fr_flat AS (
+  SELECT e.query_id, e.vec_id, e.d, 1e-10 AS f_r
+  FROM dist e JOIN par p ON p.query_id = e.query_id AND p.is_kde = 2
+),
+f AS (SELECT * FROM fr_kde UNION ALL SELECT * FROM fr_gmm
+      UNION ALL SELECT * FROM fr_flat),
+post AS (
+  SELECT f.query_id, f.vec_id,
+         least(greatest({post}, 1e-10), 1e0 - 1e-10) AS p
+  FROM f
+),
+ranked AS (
+  SELECT query_id, vec_id, p,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(p, 6) DESC, vec_id ASC) AS rank
+  FROM post
+)
+SELECT query_id, rank, vec_id, round(p, 6) AS vprob_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+ORACLE_SQL_BUILDERS["vector_calibrated_topk"] = build_sql_vector_calibrated_topk
 
 
 def q_simhash_fingerprints(spark, sf_dir):

@@ -170,10 +170,14 @@ class VectorProbabilityTransform:
         h = silverman_bandwidth(d, weights) * bandwidth_factor
         return kernel_density(e, d, np.asarray(weights, dtype=np.float64), h)
 
-    def estimate_gmm(self, distances, weights=None, *, max_iter=100, tol=1e-6, eval_points=None):
-        """Fixed-background 2-component EM: only (μ_R, σ_R, π_R) move."""
+    def fit_gmm_params(self, distances, weights=None, *, max_iter=100, tol=1e-6):
+        """EM fit only — returns the fitted (μ_R, σ_R, π_R).
+
+        Split out of :meth:`estimate_gmm` so the data-dependent SQL
+        oracle (entry_queries.build_sql_vector_calibrated_topk) can fit
+        the per-query mixture driver-side and inline the params; the
+        arithmetic is unchanged."""
         d = np.asarray(distances, dtype=np.float64)
-        e = d if eval_points is None else np.asarray(eval_points, dtype=np.float64)
         n = len(d)
         if weights is not None:
             w = np.asarray(weights, dtype=np.float64)
@@ -210,6 +214,13 @@ class VectorProbabilityTransform:
                 sigma_R = self.sigma_G * 0.1
             pi_R = float(np.clip(gs / n, 0.01, 0.99))
 
+        return mu_R, sigma_R, pi_R
+
+    def estimate_gmm(self, distances, weights=None, *, max_iter=100, tol=1e-6, eval_points=None):
+        """Fixed-background 2-component EM: only (μ_R, σ_R, π_R) move."""
+        d = np.asarray(distances, dtype=np.float64)
+        e = d if eval_points is None else np.asarray(eval_points, dtype=np.float64)
+        mu_R, sigma_R, _ = self.fit_gmm_params(d, weights, max_iter=max_iter, tol=tol)
         return np.maximum(np.asarray(gaussian_pdf(e, mu_R, sigma_R)), EPS)
 
     def _relevant_density(

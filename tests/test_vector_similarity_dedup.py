@@ -207,9 +207,11 @@ class TestVectorOpsSpark:
             np.testing.assert_array_equal(g["vector_prob"].to_numpy(), expect)
 
     def test_vector_calibrated_topk_entry_golden(self, spark):
-        """End-to-end golden for the one rows-only driver entry: rebuild
-        its exact top-10 on the driver (numpy EM on collected distances,
-        rank by prob DESC / vec_id ASC) and require identical rows."""
+        """End-to-end golden for the vector-calibration driver entry:
+        rebuild its exact top-10 on the driver (numpy EM on collected
+        round-9 distances — the entry's cross-engine determinism
+        contract — rank by round-6 prob DESC / vec_id ASC) and require
+        identical rows."""
         from bayesian_bm25_spark.entry_queries import SPARK_QUERIES
 
         sf = "/root/testdata/sf0.001"
@@ -222,14 +224,16 @@ class TestVectorOpsSpark:
         queries = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         )
-        dists = VO.distances_from_embeddings(emb, queries)
+        dists = VO.distances_from_embeddings(emb, queries).withColumn(
+            "distance", F.round("distance", 9)
+        )
         vpt = VO.fit_background(dists, base_rate=0.05)
         pdf = dists.toPandas()
         expect = []
         for qid, g in pdf.groupby("query_id", sort=True):
             g = g.sort_values("vec_id")
             probs = np.atleast_1d(vpt.calibrate(g["distance"].to_numpy()))
-            order = np.lexsort((g["vec_id"].to_numpy(), -probs))[:10]
+            order = np.lexsort((g["vec_id"].to_numpy(), -np.round(probs, 6)))[:10]
             for rank, i in enumerate(order, start=1):
                 expect.append(
                     (int(qid), rank, int(g["vec_id"].to_numpy()[i]),
