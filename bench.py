@@ -3,7 +3,9 @@
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "build_docs_per_sec": ..., "query_qps": ..., "n_cores": ...}
+   "build_docs_per_sec": ..., "query_qps": ..., "query_qps_warm": ...,
+   "canary": {pre/post single-thread VM-health probes}, "canary_ok": ...,
+   "n_cores": ...}
 
 Env:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
@@ -101,6 +103,15 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # VM-health canary (VERDICT r5 #2): the r5 suite inflated 30-60%
+    # uniformly in a depressed shared-VM window, but the headline JSON
+    # carried no evidence — now it does.  Probe before AND after so an
+    # in-suite window shift is visible too.
+    from bayesian_bm25_spark.bench_canary import run_canary
+
+    canary_pre = run_canary()
+    print(f"# canary(pre): {canary_pre}", file=sys.stderr)
 
     # registry-drift guard: every headline name must exist, and any
     # registry entry NOT benched is logged (no silent caps)
@@ -207,6 +218,28 @@ def main() -> None:
         print(f"# build {N_DOCS} docs in {build_sec:.2f}s; "
               f"{N_QUERIES} queries in {query_sec:.2f}s ({n_rows} rows)", file=sys.stderr)
 
+        # warm/amortized lane (VERDICT r5 #6): the layout a long-lived
+        # service actually serves — pay the postings→doc_id re-layout
+        # once (untimed, amortized), then run the same batch on the
+        # persisted layout.  p = 2× cores won the r5 sweep at 16-wide
+        # (BENCH/BASELINE.md §5); round-over-round regressions on this
+        # path are now visible in the official record.
+        warm_p = int(os.environ.get("BENCH_WARM_PARTS", str(max(2 * CPUS, 16))))
+        src = Q.prepartition_for_scoring(idx.postings, warm_p)
+        t0 = time.time()
+        n_w = Q.retrieve_auto(
+            src, qdf, idx.term_stats, idx.params, idx.avgdl,
+            n_docs=idx.n_docs, k=10, n_buckets=idx.config.n_buckets,
+            impacts_nonnegative=(idx.config.method != "robertson"),
+            src_partitioned=True,
+        ).count()
+        warm_sec = time.time() - t0
+        windows["query_warm"] = [t0, time.time()]
+        timings["query_top10_warm"] = round(warm_sec, 4)
+        total += warm_sec
+        src.unpersist()
+        print(f"# warm p={warm_p}: {warm_sec:.2f}s ({n_w} rows)", file=sys.stderr)
+
         # warm-layout sweep (BENCH_QUERY_PARTS="16,32,64"): pay the
         # postings→doc_id re-layout once per partition count (untimed —
         # a long-lived service amortizes it), then measure the batch on
@@ -245,6 +278,8 @@ def main() -> None:
         "bench_queries": N_QUERIES,
         "build_docs_per_sec": round(N_DOCS / timings["index_build"], 2),
         "query_qps": round(N_QUERIES / timings["query_top10"], 2),
+        "query_qps_warm": round(N_QUERIES / timings["query_top10_warm"], 2),
+        "warm_parts": warm_p,
         "build_stages": build_stages,
         "build_walls": [round(w, 4) for w in build_walls],
         # which repeat build_sec/build_docs_per_sec report (windows["build"]
@@ -253,6 +288,10 @@ def main() -> None:
         "registry_entries": len(SPARK_QUERIES),
         "unbenched_entries": unbenched,
     }
+    canary_post = run_canary()
+    print(f"# canary(post): {canary_post}", file=sys.stderr)
+    out["canary"] = {"pre": canary_pre, "post": canary_post}
+    out["canary_ok"] = bool(canary_pre["ok"] and canary_post["ok"])
     if warm_qps:
         out["query_warm_qps"] = warm_qps
     if os.environ.get("BENCH_EVENT_LOG_DIR"):

@@ -91,6 +91,28 @@ class TestScoringPlan:
         finally:
             src.unpersist()
 
+    def test_warm_lane_exchange_free_at_bench_partition_count(self, plan_idx):
+        """The official bench's always-on warm lane (bench.py: p = 2×cores
+        = 64 at the 32-core default) must keep the exchange-free scoring
+        property at ITS partition count, not just the small fixture count
+        — pins the plan the query_qps_warm number is measured on."""
+        import re
+
+        spark = plan_idx.spark
+        src = Q.prepartition_for_scoring(plan_idx.postings, 64)
+        try:
+            qdf = queries_to_df(spark, [["w1", "w2"], ["w3"]])
+            scored = Q.score_queries(
+                src, qdf, prune_buckets=False, co_partition=False
+            )
+            plan = plan_of(scored)
+            assert "InMemoryTableScan" in plan
+            assert not re.search(
+                r"Exchange hashpartitioning\(query_id#\d+L?, doc_id", plan
+            ), plan
+        finally:
+            src.unpersist()
+
     def test_query_side_is_broadcast(self, plan_idx):
         qdf = queries_to_df(plan_idx.spark, [["w1"]])
         plan = plan_of(Q.score_queries(plan_idx.postings, qdf, prune_buckets=False))
