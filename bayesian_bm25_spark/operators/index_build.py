@@ -71,6 +71,12 @@ class IndexConfig:
     n_buckets: int = 32  # term-hash layout buckets (partition pruning)
     n_salts: int = 8  # salt factor for the compressed posting-list build
     build_compressed: bool = True
+    # encode varbyte partial posting lists map-side (per Arrow batch,
+    # zero pre-shuffle) so the ONLY exchange of the posting-list build
+    # carries compressed bytes; False restores the salted row-shuffle
+    # (repartition by (term, salt) then encode) — see
+    # _build_compressed_lists and the BENCH/BASELINE.md §6 A/B
+    mapside_partials: bool = True
     # checkpoint the intermediate segments table (old two-write layout);
     # off = phase 1 streams into the merge through one shuffle and the
     # compressed artifact is written once (see _build_compressed_lists)
@@ -636,6 +642,14 @@ _SEGMENT_SCHEMA = StructType(
     ]
 )
 
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("df_partial", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
 _LIST_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
@@ -692,15 +706,26 @@ def _run_grouped(batches, key_cols: list[str], flush):
 def _build_compressed_lists(
     spark: SparkSession, postings: DataFrame, path: str, cfg: IndexConfig, force: bool
 ) -> DataFrame:
-    """Two-phase salted posting-list construction (north rule).
+    """Compressed posting-list construction (north rule).
 
-    Phase 1 repartitions by (term, salt(doc_id)) — the Zipf head is split
-    across ``n_salts`` tasks instead of landing whole in one — sorts
-    within partitions, and encodes each contiguous (term, salt) run into
-    a sorted delta+varbyte segment with its partial df.  Phase 2
-    repartitions by term and stitches the (doc-disjoint) segments into
-    the global list.  Both phases are Arrow-batched ``mapInPandas`` over
-    partition-sorted runs: per-batch Python, per-group numpy.
+    Default (``cfg.mapside_partials``): encode varbyte partials MAP-SIDE
+    — each Arrow batch of the postings scan is numpy-sorted by
+    (term, doc_id) and every term-run encoded into a delta+varbyte
+    partial with its partial df — then ONE shuffle by term carries only
+    compressed bytes (~10.5 B/posting vs ~35-40 B/posting struct rows)
+    into the merge, which decodes, argsort-stitches the doc-disjoint
+    partials, and re-encodes the global list (byte-identical to every
+    other path).  Skew needs no salt here: the Zipf head term arrives
+    pre-chunked one partial per batch per split, and the map side is
+    balanced by the scan's byte-sized splits.
+
+    Legacy salted path (``mapside_partials=False`` or env
+    ``BB25_MAPSIDE_PARTIALS=0`` for A/Bs): phase 1 repartitions raw rows
+    by (term, salt(doc_id)) — the Zipf head split across ``n_salts``
+    tasks — sorts within partitions, and encodes each contiguous
+    (term, salt) run; phase 2 repartitions by term and stitches.  Both
+    phases are Arrow-batched ``mapInPandas`` over partition-sorted runs:
+    per-batch Python, per-group numpy.
 
     By default (``cfg.checkpoint_segments = False``) phase 1 STREAMS
     into phase 2 through one shuffle — the full compressed artifact is
@@ -716,6 +741,7 @@ def _build_compressed_lists(
     stage-per-phase layout (e.g. to inspect segments)."""
     seg_dir = os.path.join(path, "segments")
     list_dir = os.path.join(path, "posting_lists")
+    postings_dir = os.path.join(path, "postings")
     # over-partition the python encode stages 4× so uneven (term, salt)
     # run lengths don't leave cores idle behind stragglers
     n_part = max(spark.sparkContext.defaultParallelism * 4, 8)
@@ -741,6 +767,64 @@ def _build_compressed_lists(
             .mapInPandas(encode_runs, schema=_SEGMENT_SCHEMA)
         )
 
+    def encode_partials(batches):
+        # Map-side partial encode: sort each Arrow batch by
+        # (term, doc_id) with numpy, encode every term-run into a
+        # varbyte partial.  No pre-shuffle, no partition-wide sort —
+        # (term, doc) rows are globally unique, so batch-local runs are
+        # doc-disjoint across batches and the merge's argsort stitches
+        # them exactly (byte-identical final lists).
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            term = pdf["term"].to_numpy()
+            order = np.lexsort((pdf["doc_id"].to_numpy(), term))
+            term = term[order]
+            doc = pdf["doc_id"].to_numpy()[order]
+            tf = pdf["tf"].to_numpy()[order]
+            imp = pdf["impact"].to_numpy()[order]
+            change = np.ones(n, dtype=bool)
+            change[1:] = term[1:] != term[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], n)
+            yield pd.DataFrame(
+                {
+                    "term": term[starts],
+                    "df_partial": (ends - starts).astype("int64"),
+                    "payload": [
+                        encode_posting_list(doc[a:b], tf[a:b], imp[a:b])
+                        for a, b in zip(starts, ends)
+                    ],
+                }
+            )
+
+    def build_partials() -> DataFrame:
+        # The encode is a pure map — its parallelism is the read split
+        # count.  The postings checkpoint is ~32 MB/file, so at the
+        # build-wide 16m cap a small corpus reads in a handful of
+        # splits; clone a session with a byte-sized split cap
+        # (~bytes/(4·parallelism), floored at 2m) so every core encodes.
+        cap = max(
+            2 << 20,
+            _dir_bytes(postings_dir)
+            // max(4 * spark.sparkContext.defaultParallelism, 8),
+        )
+        enc_spark = spark.newSession()
+        enc_spark.conf.set("spark.sql.files.maxPartitionBytes", str(cap))
+        for k in ("spark.sql.shuffle.partitions",
+                  "spark.sql.parquet.compression.codec",
+                  "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"):
+            v = spark.conf.get(k, None)
+            if v is not None:
+                enc_spark.conf.set(k, v)
+        src = enc_spark.read.parquet(postings_dir).select(
+            "term", "doc_id", "tf", "impact"
+        )
+        return src.mapInPandas(encode_partials, schema=_PARTIAL_SCHEMA)
+
     def merge_runs(batches):
         def flush(g: dict) -> dict:
             return {
@@ -751,21 +835,45 @@ def _build_compressed_lists(
 
         yield from _run_grouped(batches, ["term"], flush)
 
-    def merge_of(segments: DataFrame) -> DataFrame:
+    def merge_of(segments: DataFrame, order_cols=("term", "salt")) -> DataFrame:
         return (
             segments.repartition(n_part, "term")
-            .sortWithinPartitions("term", "salt")
+            .sortWithinPartitions(*order_cols)
             .mapInPandas(merge_runs, schema=_LIST_SCHEMA)
         )
 
     if not cfg.checkpoint_segments:
-        # streamed path: encode → shuffle by term → merge, one write
+        mapside = getattr(cfg, "mapside_partials", True) and (
+            os.environ.get("BB25_MAPSIDE_PARTIALS", "1") != "0"
+        )
+        if mapside:
+            # map-side partial encode → ONE shuffle of compressed bytes
+            # → merge: the exchange payload is varbyte partials (~10.5
+            # B/posting: 8 B raw impact + ~1.5 B doc gap + ~1 B tf)
+            # instead of struct rows (~35-40 B/posting), and the old
+            # row-level (term, salt) exchange disappears entirely.  The
+            # salted split's skew job is done by the batch granularity:
+            # the Zipf head term arrives pre-chunked, one partial per
+            # 10k-row Arrow batch per read split.
+            ckpt.run_stage(
+                spark,
+                list_dir,
+                lambda: merge_of(build_partials(), order_cols=("term",)),
+                stage="posting_lists",
+                inputs=[postings_dir],
+                force=force,
+            )
+            # hand the checkpoint back on the caller's session so
+            # downstream lineage never references the split-cap clone
+            return spark.read.parquet(list_dir)
+        # salted streamed path: row shuffle → encode → shuffle by term
+        # → merge, one write
         return ckpt.run_stage(
             spark,
             list_dir,
             lambda: merge_of(build_segments()),
             stage="posting_lists",
-            inputs=[os.path.join(path, "postings")],
+            inputs=[postings_dir],
             force=force,
         )
 

@@ -97,6 +97,30 @@ class TestBuild:
         assert not os.path.exists(str(tmp_path / "pl_stream" / "segments"))
         assert os.path.exists(str(tmp_path / "pl_ckpt" / "segments"))
 
+    def test_mapside_partials_equal_salted_streamed_zipf(self, spark, tmp_path):
+        """The map-side partial encode (new default: per-batch numpy
+        sort + varbyte partials, ONE compressed-bytes shuffle) must be
+        byte-identical to the salted row-shuffle streamed path on a
+        Zipf corpus big enough for multi-split reads and multi-batch
+        head terms."""
+        from bayesian_bm25_spark.sources.webcorpus import generate_pages
+
+        pages = generate_pages(spark, 3000, seed=11, num_partitions=8)
+        cfg = dict(alpha=1.0, beta=1.0)
+        a = build_index(
+            spark, pages, str(tmp_path / "pl_map"),
+            IndexConfig(mapside_partials=True, **cfg),
+        )
+        b = build_index(
+            spark, pages, str(tmp_path / "pl_salt"),
+            IndexConfig(mapside_partials=False, **cfg),
+        )
+        rows_a = {(r["term"], r["df"], bytes(r["payload"]))
+                  for r in a.posting_lists.collect()}
+        rows_b = {(r["term"], r["df"], bytes(r["payload"]))
+                  for r in b.posting_lists.collect()}
+        assert rows_a == rows_b and len(rows_a) > 0
+
     def test_corpus_stats(self, six_index):
         corpus = [tokenize(d) for d in SIX_DOCS]
         assert six_index.n_docs == 6

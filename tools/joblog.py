@@ -123,7 +123,8 @@ def task_stats(path: str | list[str], t0: float, t1: float, n_cores: int | None 
     did per-task WORK inflate (contention), or did slots idle?"""
     paths = [path] if isinstance(path, str) else list(path)
     out = dict(n_tasks=0, task_sec=0.0, cpu_sec=0.0, gc_sec=0.0,
-               deser_sec=0.0, shuffle_write_sec=0.0, fetch_wait_sec=0.0)
+               deser_sec=0.0, shuffle_write_sec=0.0, fetch_wait_sec=0.0,
+               shuffle_write_mb=0.0, shuffle_read_mb=0.0)
     for p in paths:
         with open(p, encoding="utf-8", errors="replace") as f:
             for line in f:
@@ -149,6 +150,12 @@ def task_stats(path: str | list[str], t0: float, t1: float, n_cores: int | None 
                 out["fetch_wait_sec"] += (
                     (tm.get("Shuffle Read Metrics") or {}).get("Fetch Wait Time", 0) / 1000.0
                 )
+                sw = tm.get("Shuffle Write Metrics") or {}
+                sr = tm.get("Shuffle Read Metrics") or {}
+                out["shuffle_write_mb"] += sw.get("Shuffle Bytes Written", 0) / 1e6
+                out["shuffle_read_mb"] += (
+                    sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0)
+                ) / 1e6
     out = {k: (round(v, 1) if isinstance(v, float) else v) for k, v in out.items()}
     if n_cores:
         out["util_pct"] = round(100.0 * out["task_sec"] / ((t1 - t0) * n_cores), 1)
