@@ -789,19 +789,23 @@ def _learned_fusion_rankings(
     )
     labels = (rel > 0).astype(np.float64)
 
-    def _dcg_sum(fused: np.ndarray) -> float:
+    def _dcg_sum(fused: np.ndarray, qsel=None) -> float:
         """Σ_q DCG@k of the candidate ranking (fused DESC, doc_id ASC
         tie-break — same order topk_fused produces).  IDCG is constant
-        per query, so the un-normalized sum selects the same argmax."""
+        per query, so the un-normalized sum selects the same argmax.
+        ``qsel`` restricts the sum to a query subset (CV: model
+        selection must only see training-fold queries)."""
         s = 0.0
         for q in np.unique(qid):
+            if qsel is not None and q not in qsel:
+                continue
             m = qid == q
             order = np.lexsort((doc[m], -fused[m]))[:k]
             g = rel[m][order]
             s += float(np.sum(g / np.log2(np.arange(len(g)) + 2.0)))
         return s
 
-    def _fit_rank_selected(model, forward, fit=None):
+    def _fit_rank_selected(model, forward, fit=None, qsel=None):
         """Chunked GD with rank-metric model selection: fit 20 iters at
         a time, score DCG@k after each chunk, keep the best checkpoint.
         The zero-W init ranks exactly like ``balanced`` (equal softmax
@@ -811,12 +815,12 @@ def _learned_fusion_rankings(
         candidate sets, so pure logistic fitting can drift)."""
         import copy
 
-        best_score = _dcg_sum(forward())
+        best_score = _dcg_sum(forward(), qsel)
         best = copy.deepcopy(model.__dict__)
         step = fit or (lambda: model.fit(probs, labels, qf, max_iterations=20))
         for _ in range(15):
             step()
-            sc = _dcg_sum(forward())
+            sc = _dcg_sum(forward(), qsel)
             if sc > best_score:
                 best_score = sc
                 best = copy.deepcopy(model.__dict__)
@@ -874,6 +878,108 @@ def _learned_fusion_rankings(
     out["multihead"] = FO.topk_fused(
         heads.withColumn("fused", C.sigmoid(mean_logit)), k=k
     )
+
+    # --- held-out 5-fold CV twins (the attn_norm_cv protocol: seeded
+    # query permutation, contiguous folds; each fold's queries scored by
+    # a model fit AND rank-selected on the other folds only, so no
+    # query's qrels touch its own fused scores) -----------------------
+    uq = np.array(sorted(set(qid.tolist())))
+    perm = np.random.default_rng(42).permutation(len(uq))
+    n_folds = 5
+    fold_size = max(1, len(uq) // n_folds)
+    lw_cv: dict = {}  # query_id -> (w1, w2, scale)
+    mh_cv: dict = {}  # query_id -> [(W, b, alpha), ...]
+    for i in range(n_folds):
+        start = i * fold_size
+        end = len(uq) if i == n_folds - 1 else start + fold_size
+        test_q = {uq[perm[j]] for j in range(start, min(end, len(uq)))}
+        if not test_q:
+            continue
+        mask = ~np.isin(qid, list(test_q))
+        if labels[mask].sum() == 0 or (1 - labels[mask]).sum() == 0:
+            continue
+        train_q = set(uq.tolist()) - test_q
+        flw = LearnableLogOddsWeights(2, alpha=0.5)
+        _fit_rank_selected(
+            flw,
+            lambda flw=flw: np.atleast_1d(flw(probs)),
+            fit=lambda flw=flw, mask=mask: flw.fit(
+                probs[mask], labels[mask], max_iterations=20
+            ),
+            qsel=train_q,
+        )
+        fmh = MultiHeadAttentionLogOddsWeights(2, 3, n_heads=3)
+        for h in fmh.heads:
+            h.W[:] = 0.0
+        _fit_rank_selected(
+            fmh,
+            lambda fmh=fmh: np.atleast_1d(fmh(probs, qf)),
+            fit=lambda fmh=fmh, mask=mask: fmh.fit(
+                probs[mask], labels[mask], qf[mask], max_iterations=20
+            ),
+            qsel=train_q,
+        )
+        fw1, fw2 = (float(x) for x in flw.weights)
+        for q in test_q:
+            lw_cv[q] = (fw1, fw2, 2.0 ** flw.alpha)
+            mh_cv[q] = [(h.W.copy(), h.b.copy(), h.alpha) for h in fmh.heads]
+
+    if lw_cv:
+        # skipped-fold queries fall back to the global train-on-test fit
+        lw_cv[None] = (w1, w2, scale)
+        mh_cv[None] = [(h.W.copy(), h.b.copy(), h.alpha) for h in mh.heads]
+
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        cv_schema = StructType(
+            list(feats.schema.fields) + [StructField("fused", DoubleType())]
+        )
+
+        def _cv_apply(models: dict, combine) -> DataFrame:
+            def run(pdf: pd.DataFrame) -> pd.DataFrame:
+                q = pdf["query_id"].iloc[0]
+                m = models.get(q, models.get(None))
+                pdf = pdf.sort_values("doc_id").copy()
+                pdf["fused"] = combine(pdf, m)
+                return pdf
+
+            return feats.groupBy("query_id").applyInPandas(run, schema=cv_schema)
+
+        from bayesian_bm25_spark.kernel.transform import clamp01 as kclamp
+        from bayesian_bm25_spark.kernel.transform import logit as klogit
+        from bayesian_bm25_spark.kernel.transform import sigmoid as ksig
+
+        def _lw_combine(pdf: pd.DataFrame, m) -> np.ndarray:
+            cw1, cw2, cscale = m
+            return ksig(
+                cscale
+                * (
+                    cw1 * klogit(kclamp(pdf["ps_n"].to_numpy()))
+                    + cw2 * klogit(kclamp(pdf["pd_n"].to_numpy()))
+                )
+            )
+
+        def _mh_combine(pdf: pd.DataFrame, heads_params) -> np.ndarray:
+            p2 = np.column_stack(
+                [pdf["ps_n"].to_numpy(), pdf["pd_n"].to_numpy()]
+            )
+            qfl = np.column_stack(
+                [pdf["f1"].to_numpy(), pdf["f2"].to_numpy(), pdf["f3"].to_numpy()]
+            )
+            outs = []
+            for W, b, alpha in heads_params:
+                hm = AttentionLogOddsWeights(2, 3, alpha=alpha, seed=0)
+                hm.W, hm.b = W, b
+                hm.W_avg, hm.b_avg = W, b
+                outs.append(np.atleast_1d(hm(p2, qfl)))
+            return ksig(
+                np.mean(
+                    [klogit(np.clip(o, 1e-10, 1 - 1e-10)) for o in outs], axis=0
+                )
+            )
+
+        out["learnable_cv"] = FO.topk_fused(_cv_apply(lw_cv, _lw_combine), k=k)
+        out["multihead_cv"] = FO.topk_fused(_cv_apply(mh_cv, _mh_combine), k=k)
     return out
 
 

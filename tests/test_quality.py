@@ -29,6 +29,7 @@ class TestQualityHarness:
             "vpt_balanced", "arctan_or", "gated_relu", "gated_swish",
             "gated_gelu", "gated_softplus", "logodds", "dense_arctan",
             "attention", "multihead", "cosine_or", "learnable",
+            "learnable_cv", "multihead_cv",
             "dense_kappa", "dense_platt",
             "logodds_br", "gated_swish_b2", "balanced_mix", "balanced_elbow",
             "vector_balanced", "vector_softplus",

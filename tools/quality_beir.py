@@ -75,12 +75,12 @@ reference's hybrid pipeline targets.
 **Caveat — learned rows are train-on-test:** the `learnable`,
 `attention`, `multihead`, `attn_norm`, `multihead_norm`, and
 `vector_attn` rows fit their fusion weights on the SAME fixture qrels
-they are then scored against (no held-out split exists on a 20-topic
-fixture; the reference's own BEIR protocol also trains attention on
-the dataset it evaluates, hybrid_beir.py:1300-1356).  The `attn_norm_cv`
-row is the exception: 5-fold cross-validation, every query scored by a
-model that never saw its qrels — the only learned row with a held-out
-protocol.  `dense_platt` likewise fits on in-dataset labels (the
+they are then scored against (the reference's own BEIR protocol also
+trains attention on the dataset it evaluates, hybrid_beir.py:1300-1356).
+Each has a held-out twin: `attn_norm_cv`, `learnable_cv`, and
+`multihead_cv` run 5-fold cross-validation — every query is scored by
+a model fit AND rank-selected on the other folds only, so no query's
+qrels ever touch its own fused scores.  `dense_platt` likewise fits on in-dataset labels (the
 reference's own protocol).  The `tuned`/`balanced_tuned`/
 `hybrid_and_tuned` grids select on a seeded HALF of the queries (the
 reference's tune=True 50/50 split), so their other half is held out.
