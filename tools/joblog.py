@@ -25,8 +25,24 @@ import os
 import sys
 
 
+def _open(path: str):
+    """Open an event-log part, transparently decompressing ``.zstd``
+    (Spark's default eventLog.compress codec) via the zstd binary."""
+    if path.endswith(".zstd"):
+        import io
+        import subprocess
+
+        proc = subprocess.Popen(
+            ["zstd", "-d", "-c", path], stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        return io.TextIOWrapper(proc.stdout, encoding="utf-8",
+                                errors="replace")
+    return open(path, encoding="utf-8", errors="replace")
+
+
 def _iter_job_events(path: str):
-    with open(path, encoding="utf-8", errors="replace") as f:
+    with _open(path) as f:
         for line in f:
             # cheap prefilter: task events dominate the log; only job
             # boundaries matter here
@@ -126,7 +142,7 @@ def task_stats(path: str | list[str], t0: float, t1: float, n_cores: int | None 
                deser_sec=0.0, shuffle_write_sec=0.0, fetch_wait_sec=0.0,
                shuffle_write_mb=0.0, shuffle_read_mb=0.0)
     for p in paths:
-        with open(p, encoding="utf-8", errors="replace") as f:
+        with _open(p) as f:
             for line in f:
                 if '"SparkListenerTaskEnd"' not in line:
                     continue
@@ -191,13 +207,9 @@ def find_log(dir_or_file: str, app_id: str | None = None) -> str:
         )
         if not parts:
             raise FileNotFoundError(f"no events_ file in {best}")
-        if parts[0].endswith(".zstd"):
-            raise RuntimeError(
-                f"{parts[0]} is zstd-compressed; rerun bench with "
-                "spark.eventLog.compress=false (bench.py sets this)"
-            )
-        # rolling can split into events_1..N parts; load_jobs accepts
-        # the list and reads them in order
+        # .zstd parts are handled transparently by _open(); rolling can
+        # split into events_1..N parts; load_jobs accepts the list and
+        # reads them in order
         return parts if len(parts) > 1 else parts[0]
     return best
 
