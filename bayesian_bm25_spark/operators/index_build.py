@@ -358,6 +358,15 @@ def _read_split_cap(spark: SparkSession, cap: str = "16m"):
     """
     keys = {
         "spark.sql.files.maxPartitionBytes": cap,
+        # the postings checkpoint is term_bucket-partitioned into many
+        # ~0.5-2 MB files; the default 4 MB per-file open cost charges
+        # each one 4 MB against the 16m split cap (~3 files/split), so
+        # every parallel-group scan of it explodes into ~1s-overhead
+        # tasks (round-6 event-log audit: +100 tasks, +100s task-time
+        # at 16 cores after the write widened).  1 MB packs ~8
+        # files/split; the docs scan reads few 16 MB+ files and is
+        # unaffected.
+        "spark.sql.files.openCostInBytes": str(1 << 20),
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     }
@@ -389,6 +398,33 @@ def _dir_bytes(d: str) -> int:
             except OSError:
                 pass
     return total
+
+
+def _postings_write_tasks(docs_bytes: int, default_parallelism: int) -> int:
+    """Task count for the postings stage's narrow coalesce.
+
+    The cached-tf probe pins the write stage's task count, and that
+    stage carries the post-cache compute (broadcast df join + impact +
+    parquet encode), not just the file write — so under-sizing it idles
+    cores, and over-sizing it multiplies files by the 32 term_bucket
+    partition dirs.  Three regimes:
+
+    - big corpus (bytes/32MB >= cluster width): byte-proportional —
+      already at least one well-filled task per core;
+    - mid corpus (within 4x of cluster width): fill the cluster — the
+      event-log audit of the round-6 executor pair showed the 8-task
+      floor running a 16-core cluster half-idle for 27.5s of a 122.8s
+      build (BENCH/BASELINE.md r6 addendum 5), and filling the width
+      here costs at most 4x the byte-sized file count;
+    - tiny corpus: floor at min(8, width) so a 50k-doc corpus writes
+      ~8x32 files instead of 1024 tiny ones.
+    """
+    by_bytes = -(-docs_bytes // (32 << 20))
+    if by_bytes >= default_parallelism:
+        return by_bytes
+    if by_bytes * 4 >= default_parallelism:
+        return default_parallelism
+    return max(min(8, default_parallelism), by_bytes)
 
 
 def build_index(
@@ -483,12 +519,8 @@ def _build_index_impl(
         # the docs checkpoint bytes: ~32 MB of docs per write task, a
         # NARROW coalesce (no shuffle) — small corpora get few
         # well-filled files, big corpora keep proportional parallelism.
-        n_write = max(
-            # parallelism floor: the post-cache work (BHJ + impact +
-            # parquet encode) is cheap but not free — don't serialize
-            # it onto 1-2 cores just to save a handful of files
-            min(8, spark.sparkContext.defaultParallelism),
-            -(-_dir_bytes(docs_dir) // (32 << 20)),
+        n_write = _postings_write_tasks(
+            _dir_bytes(docs_dir), spark.sparkContext.defaultParallelism
         )
         return out.coalesce(int(n_write))
 

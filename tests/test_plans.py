@@ -229,3 +229,45 @@ class TestRegistryConsistency:
             plan_idx.postings, qt, n_buckets=32, driver_terms=["alpha"]
         )
         assert "term_bucket" in plan_of(static)
+
+
+class TestPostingsWriteSizing:
+    """The postings narrow-coalesce must fill the cluster on mid-size
+    corpora: the round-6 pair's event-log audit caught the old 8-task
+    floor running the 16-core leg half-idle for 27.5s of a 122.8s
+    build (BENCH/BASELINE.md r6 addendum 5)."""
+
+    def test_tiny_corpus_keeps_file_count_guard(self):
+        from bayesian_bm25_spark.operators.index_build import (
+            _postings_write_tasks,
+        )
+
+        # 50k-doc bench corpus (~12 MB docs): stays at 8 on any wide
+        # cluster — the 1024-tiny-files trap the guard exists for
+        assert _postings_write_tasks(12 << 20, 32) == 8
+        # narrow cluster: never above what bytes+floor justify
+        assert _postings_write_tasks(12 << 20, 4) == 4
+
+    def test_mid_corpus_fills_the_cluster(self):
+        from bayesian_bm25_spark.operators.index_build import (
+            _postings_write_tasks,
+        )
+
+        # the round-6 pair shape: 1M docs ≈ 230 MB docs checkpoint →
+        # by_bytes=8; 16-core leg must get 16 tasks (old code: 8)
+        assert _postings_write_tasks(230 << 20, 16) == 16
+        # 4-core leg unchanged: byte-proportional 8 ≥ width
+        assert _postings_write_tasks(230 << 20, 4) == 8
+
+    def test_big_corpus_is_byte_proportional(self):
+        from bayesian_bm25_spark.operators.index_build import (
+            _postings_write_tasks,
+        )
+
+        assert _postings_write_tasks(10 << 30, 16) == 320  # 10 GB / 32 MB
+        # monotone in bytes at fixed width
+        prev = 0
+        for gb in (1, 2, 4, 8, 16):
+            cur = _postings_write_tasks(gb << 30, 32)
+            assert cur >= prev
+            prev = cur
