@@ -86,6 +86,20 @@ class IndexConfig:
     # row-local tf counting (zero token-stream shuffle); False restores
     # the explode + groupBy(term, doc_id) plan
     local_tf: bool = True
+    # broadcast the per-term df aggregate into the impact join when the
+    # measured vocabulary is at most this many terms (0 = off).  OFF BY
+    # DEFAULT — measured negative (BENCH/BASELINE.md r6 addendum §6):
+    # the tf-by-term exchange this removes (992 MB at 1M docs, the
+    # build's heaviest stage) is not waste, it is the CLUSTERING stage.
+    # Its term-hash output partitioning aligns with term_bucket =
+    # pmod(xxhash64(term), n_buckets), so each write task lands in ~1-2
+    # bucket dirs with term-clustered, RLE-friendly files; the
+    # broadcast path writes doc-ordered rows that scatter every term
+    # across every write task's files — postings phase −10%, every
+    # downstream postings scan (term_stats/block_max/posting-list
+    # merge) ~3× slower.  Keep for corpora whose downstream stages
+    # don't re-scan postings by term.
+    broadcast_vocab_max: int = 0
 
     def to_dict(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
@@ -315,7 +329,24 @@ def compute_postings(
             .agg(F.count(F.lit(1)).alias("tf"))
         )
     df_per_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    # The planner can't prove df_per_term small — it derives from the
+    # Arrow tf source, which has no stats — so the join plans as an
+    # exchange of EVERY tf row by term (round-6 event-log audit: 992 MB
+    # shuffled, 620 MB remote, the heaviest stage of the whole build).
+    # Materialize the aggregate (tiny output; one pass over tf, cached
+    # in the build path) and broadcast it when the measured vocabulary
+    # is under cfg.broadcast_vocab_max: the probe side then flows
+    # narrowly from the tf cache into impact + write with no exchange.
+    # Webscale vocabularies above the threshold keep the shuffle join.
+    df_pt_cached = None
+    bmax = int(getattr(cfg, "broadcast_vocab_max", 0) or 0)
+    if bmax > 0:
+        df_pt_cached = df_per_term.persist()
+        n_terms = df_pt_cached.count()
+        df_per_term = (
+            F.broadcast(df_pt_cached) if n_terms <= bmax else df_pt_cached
+        )
+    out = (
         tf.join(df_per_term, "term")
         .withColumn(
             "impact",
@@ -333,6 +364,10 @@ def compute_postings(
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)))
         .select("term_bucket", "term", "doc_id", "tf", "doc_len", "df", "impact")
     )
+    # cleanup handle: the build unpersists this (tiny: one row per
+    # term) after the stage write, alongside the tf cache
+    out._bb25_df_pt = df_pt_cached
+    return out
 
 
 from contextlib import contextmanager
@@ -495,22 +530,36 @@ def _build_index_impl(
     # path (checkpoint exists) never builds the plan, so nothing is
     # cached there.
     tf_cached = None
+    df_pt_cached = None
 
     def build_postings() -> DataFrame:
-        nonlocal tf_cached
+        nonlocal tf_cached, df_pt_cached
+
+        def _track(plan: DataFrame) -> DataFrame:
+            # compute_postings may persist the per-term df aggregate
+            # for the vocab-measured broadcast; keep the handle so the
+            # post-write cleanup below releases it with the tf cache
+            nonlocal df_pt_cached
+            df_pt_cached = getattr(plan, "_bb25_df_pt", None)
+            return plan
+
         src = tf_source
         if src is None and getattr(cfg, "local_tf", True):
             src = _local_tf(docs)
         if src is None:
-            return compute_postings(docs, n_docs, avgdl, cfg)
+            return _track(compute_postings(docs, n_docs, avgdl, cfg))
         if os.environ.get("BB25_TF_PERSIST", "1") == "0":
             # A/B kill-switch (BENCH/BASELINE.md r5 §1): revert to the
             # double-compute plan without the cache
-            return compute_postings(docs, n_docs, avgdl, cfg, tf_source=src)
+            return _track(
+                compute_postings(docs, n_docs, avgdl, cfg, tf_source=src)
+            )
         # covers the append path too: its union's _local_tf(new docs)
         # leg would otherwise also execute twice
         tf_cached = src.persist()
-        out = compute_postings(docs, n_docs, avgdl, cfg, tf_source=tf_cached)
+        out = _track(
+            compute_postings(docs, n_docs, avgdl, cfg, tf_source=tf_cached)
+        )
         # The cached probe pins the write's task count to the cache
         # partition count (32 tasks × 32 bucket dirs = 1024 tiny files
         # at 50k docs — measured to double every downstream postings
@@ -539,6 +588,8 @@ def _build_index_impl(
     )
     if tf_cached is not None:
         tf_cached.unpersist()
+    if df_pt_cached is not None:
+        df_pt_cached.unpersist()
     serial_phase["postings"] = round(time.time() - t_phase, 2)
 
     term_stats_dir = os.path.join(path, "term_stats")
