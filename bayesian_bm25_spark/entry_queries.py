@@ -41,19 +41,93 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spread(df: DataFrame, sf_dir: str, table: str, min_bytes: int = 0) -> DataFrame:
+    """Fan a small single-split table out across the cluster before
+    heavy narrow work.
+
+    A table under one ~128 MB split scans as ONE task, and every narrow
+    op Spark fuses into that scan stage — tokenize, shingle md5s, the
+    Arrow token-count / SimHash-fold passes — then runs on a single core
+    of the whole cluster (guide §2.6 idle capacity / §6 input splits).
+    The repartition only fires when the input is provably smaller than
+    ~8 MB/core, so on a corpus that splits naturally it is a no-op and
+    never adds a shuffle at scale.
+
+    ``min_bytes``: below this input size the spread is skipped — for
+    call sites whose per-byte work is light enough that one warm task
+    beats the exchange + task-scheduling overhead (measured: the
+    _corpus_postings family runs ~25% faster unspread at sf0.1, but a
+    multi-MB single split would serialize its Arrow token-count pass)."""
+    import os
+
+    if os.environ.get("BB25_ENTRY_SPREAD", "1") == "0":  # A/B kill-switch
+        return df
+    p = int(
+        os.environ.get("BB25_ENTRY_SPREAD_P", "0")
+    ) or df.sparkSession.sparkContext.defaultParallelism
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        )
+    except OSError:
+        return df
+    if size < min_bytes or size >= (8 << 20) * p:
+        return df
+    return df.repartition(p)
+
+
+def _docs_tokens(
+    spark: SparkSession, sf_dir: str, spread: bool = False, min_bytes: int = 0
+) -> DataFrame:
+    # ``spread`` is opt-in: only entries whose scan stage carries heavy
+    # fused work (Arrow UDF passes, 8-way shingle md5s) buy enough
+    # parallelism to pay for the extra exchange; plain JVM column math
+    # over a 0.6 MB table is faster as one task (measured: dedup_exact
+    # +0.6s with a blanket spread).
+    raw = _read(spark, sf_dir, "documents")
+    if spread:
+        raw = _spread(raw, sf_dir, "documents", min_bytes=min_bytes)
     return (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", C.tokenize(F.col("text")).alias("tokens"), "lang", "text")
+        raw.select("doc_id", C.tokenize(F.col("text")).alias("tokens"), "lang", "text")
         .withColumn("doc_len", F.size("tokens").cast("long"))
     )
 
 
 def _corpus_postings(spark: SparkSession, sf_dir: str, method: str = "lucene") -> tuple:
+    import os
+
+    from bayesian_bm25_spark.operators.index_build import _local_tf
+
     docs = _docs_tokens(spark, sf_dir)
     row = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["a"])
-    postings = compute_postings(docs, n_docs, avgdl, IndexConfig(method=method))
+    # The postings plan consumes tf TWICE (per-term df agg + probe side
+    # of the df join) and Spark does not dedupe common subplans — so the
+    # Arrow token-count pass would run twice per query.  Persist it for
+    # the duration of the query (the same reuse build_index applies;
+    # values and the oracle SQL are unchanged).  The cache is scoped to
+    # the query's lineage and reclaimed by the ContextCleaner once the
+    # returned frames are dropped.  ONLY the tf input is spread, and
+    # only when the table exceeds 4 MB: the stats agg and query-side
+    # tokenize are cheap JVM work, and at sub-MB inputs the exchange +
+    # worker-pool fork overhead measurably exceeds the single-warm-task
+    # cost (5-session A/B, family total 16.2-17.8s unspread vs
+    # 21.8-28.6s spread at sf0.1) — while a multi-MB single split would
+    # serialize the Arrow token-count pass.
+    tf_docs = _docs_tokens(spark, sf_dir, spread=True, min_bytes=4 << 20)
+    tf = _local_tf(tf_docs)
+    if os.environ.get("BB25_ENTRY_TF_PERSIST", "1") != "0":  # A/B kill-switch
+        tf = tf.persist()
+    postings = compute_postings(
+        docs, n_docs, avgdl, IndexConfig(method=method), tf_source=tf
+    )
     return docs, postings, n_docs, avgdl
 
 
@@ -548,8 +622,11 @@ FROM probs WHERE vec_id < 200
 
 
 def q_cosine_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+    emb_raw = _read(spark, sf_dir, "embeddings")
+    # big (scan) side spread across the cluster; the broadcast query
+    # side stays on the raw read (tiny, no shuffle in the broadcast prep)
+    emb = _spread(emb_raw, sf_dir, "embeddings")
+    queries = emb_raw.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     sims = emb.crossJoin(F.broadcast(queries)).select(
@@ -633,7 +710,9 @@ def q_minhash_signatures(spark, sf_dir):
     the signature is engine-independent — the trick that makes MinHash
     oracle-checkable in SQL.
     """
-    docs = _docs_tokens(spark, sf_dir)
+    # spread: the shingle build + 8 md5s per shingle are heavy fused
+    # scan-stage work — single-task on a single-split table otherwise
+    docs = _docs_tokens(spark, sf_dir, spread=True)
     sh = _shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
@@ -667,30 +746,44 @@ SQL_MINHASH_SIGNATURES = (
 )
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    """LSH candidate pairs: 4 bands × 2 rows; pair = same band bucket."""
+def _minhash_band_pairs(spark, sf_dir):
+    """Pre-distinct LSH candidate pairs (a doc pair sharing k bands
+    appears k times) — shared by the pair entry (which distincts) and
+    the components entry (whose edge build distincts anyway, so piping
+    the raw pairs in saves a full shuffle of the pair set).
+
+    Plan shape: the banded bucket table is built as ONE pass over the
+    signatures (explode of a 4-struct array — the old per-band
+    union re-executed the whole shingle+signature subplan once per band
+    branch, and the self-join doubled that to 8 executions) and is
+    persisted so the self-join's two sides share one computation."""
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = []
-    for band in range(_N_MINHASH // 2):
-        a, b = f"mh{2 * band}", f"mh{2 * band + 1}"
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws("|", F.col(a), F.col(b))).alias("bucket"),
-            )
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws("|", F.col(f"mh{2 * band}"), F.col(f"mh{2 * band + 1}"))
+            ).alias("bucket"),
         )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
-    left = allb.alias("l")
-    right = allb.alias("r")
+        for band in range(_N_MINHASH // 2)
+    ]
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*entries)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
     return (
         left.join(right, ["band", "bucket"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
     )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs: 4 bands × 2 rows; pair = same band bucket."""
+    return _minhash_band_pairs(spark, sf_dir).distinct()
 
 
 _SQL_MINHASH_PAIR_CTES = (
@@ -717,8 +810,10 @@ def q_dedup_components(spark, sf_dir):
     same transitive closure with a recursive CTE."""
     from bayesian_bm25_spark.operators.dedup import connected_components
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    # raw (pre-distinct) pairs: connected_components' edge build runs
+    # union+distinct itself, so the entry-level distinct would be a
+    # second full shuffle of the pair set for identical results
+    pairs = _minhash_band_pairs(spark, sf_dir)
     return connected_components(pairs).select("node", "component")
 
 
@@ -1233,7 +1328,7 @@ def q_multimodal_features(spark, sf_dir):
     string) and have an exact DuckDB oracle."""
     from bayesian_bm25_spark.operators.multimodal import extract_stub_features
 
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _spread(_read(spark, sf_dir, "documents"), sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"), F.lit("text/plain").alias("mime")
     )
     return extract_stub_features(docs).select(
@@ -2644,7 +2739,13 @@ def q_simhash_fingerprints(spark, sf_dir):
     engine's big-endian bit order)."""
     from bayesian_bm25_spark.operators.dedup import simhash64
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread BEFORE the fold: simhash64 is deliberately zero-shuffle, so
+    # on a single-split input its whole scan→explode→fold pipeline runs
+    # as one task; the repartition parallelizes it without touching the
+    # operator's no-exchange property (a doc's rows stay contiguous)
+    docs = _spread(_read(spark, sf_dir, "documents"), sf_dir, "documents").select(
+        "doc_id", "text"
+    )
     return simhash64(docs)
 
 
