@@ -36,7 +36,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -46,8 +48,8 @@ from pyspark.sql.types import (
 from bayesian_bm25_spark.functions import columns as C
 from bayesian_bm25_spark.kernel.bm25 import estimate_alpha_beta, estimate_base_rate
 from bayesian_bm25_spark.kernel.postings_codec import (
+    decode_posting_list,
     encode_posting_list,
-    merge_posting_lists,
 )
 from bayesian_bm25_spark.kernel.transform import TransformParams
 from bayesian_bm25_spark.plans import checkpoint as ckpt
@@ -81,6 +83,15 @@ class IndexConfig:
     # off = phase 1 streams into the merge through one shuffle and the
     # compressed artifact is written once (see _build_compressed_lists)
     checkpoint_segments: bool = False
+    # derive term_stats and block_max from the posting-list merge (the
+    # merge already holds every term's decoded doc/tf/impact arrays, so
+    # df/max/min impact, the θ-pass prefix_cutoff and the per-block
+    # maxima come out as extra columns for free) instead of re-scanning
+    # the postings checkpoint once per stage — round-6's parallel group
+    # ran THREE full postings scans (term_stats 10.9s, block_max 10.9s,
+    # compressed_lists 11.5s at sf0.1; 39/34/55s at 1M docs).  False
+    # (or env BB25_FUSED_ARTIFACTS=0) restores the standalone scans.
+    fused_term_artifacts: bool = True
     pseudo_query_seed: int = 42
     pseudo_query_sample: int = 50
     # row-local tf counting (zero token-stream shuffle); False restores
@@ -638,6 +649,14 @@ def _build_index_impl(
     # instead of serializing, which is where the N→4N scaling efficiency
     # was going at small-to-mid corpus sizes; outputs land in separate
     # checkpoint dirs, so resumability is unchanged.
+    #
+    # FUSED default (cfg.fused_term_artifacts): the compressed-list
+    # merge already decodes every term's full posting arrays, so
+    # term_stats and block_max are derived from ITS checkpoint's extra
+    # columns (a tiny column-pruned scan — the payload bytes are never
+    # read) instead of each re-scanning the full postings checkpoint.
+    # One bulk postings pass instead of three; the derivations land in
+    # the same stage dirs, so resume/load_index are unchanged.
     from concurrent.futures import ThreadPoolExecutor
 
     t_group0 = time.time()
@@ -649,40 +668,84 @@ def _build_index_impl(
         phase_sec[name] = round(time.time() - t0, 2)
         return out
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    def submit_standalone(pool):
+        return (
+            pool.submit(
+                timed, "term_stats",
+                lambda: ckpt.run_stage(
+                    spark, term_stats_dir, build_term_stats,
+                    stage="term_stats", inputs=[postings_dir], force=force,
+                ),
+            ),
+            pool.submit(
+                timed, "block_max",
+                lambda: ckpt.run_stage(
+                    spark, block_max_dir, build_block_max,
+                    stage="block_max", inputs=[postings_dir], force=force,
+                ),
+            ),
+        )
+
+    fused = (
+        cfg.build_compressed
+        and getattr(cfg, "fused_term_artifacts", True)
+        and os.environ.get("BB25_FUSED_ARTIFACTS", "1") != "0"
+    )
+    with ThreadPoolExecutor(max_workers=5) as pool:
         # params first: its chain (score 50 pseudo-queries → cache →
         # several small percentile/agg jobs) has the longest tail of
         # sequential driver round-trips, so giving it first claim on the
-        # FIFO scheduler lets that tail overlap the three bulk stages
+        # FIFO scheduler lets that tail overlap the bulk stages
         f_params = pool.submit(
             timed, "params",
             lambda: _estimate_params(spark, docs, postings, cfg, n_docs),
         )
-        f_term_stats = pool.submit(
-            timed, "term_stats",
-            lambda: ckpt.run_stage(
-                spark, term_stats_dir, build_term_stats,
-                stage="term_stats", inputs=[postings_dir], force=force,
-            ),
-        )
-        f_block_max = pool.submit(
-            timed, "block_max",
-            lambda: ckpt.run_stage(
-                spark, block_max_dir, build_block_max,
-                stage="block_max", inputs=[postings_dir], force=force,
-            ),
-        )
-        f_compressed = (
-            pool.submit(
-                timed, "compressed_lists",
-                lambda: _build_compressed_lists(spark, postings, path, cfg, force),
+        if fused:
+            list_dir = os.path.join(path, "posting_lists")
+
+            def fused_chain():
+                pl = timed(
+                    "compressed_lists",
+                    lambda: _build_compressed_lists(spark, postings, path, cfg, force),
+                )
+                if "max_impact" not in pl.columns:
+                    # resumed pre-fusion checkpoint without the stats
+                    # columns: fall back to the standalone scans
+                    f_ts, f_bm = submit_standalone(pool)
+                    return pl, f_ts.result(), f_bm.result()
+                f_ts = pool.submit(
+                    timed, "term_stats",
+                    lambda: ckpt.run_stage(
+                        spark, term_stats_dir,
+                        lambda: _derive_term_stats(pl, cfg.n_buckets),
+                        stage="term_stats", inputs=[list_dir], force=force,
+                    ),
+                )
+                f_bm = pool.submit(
+                    timed, "block_max",
+                    lambda: ckpt.run_stage(
+                        spark, block_max_dir,
+                        lambda: _derive_block_max(pl),
+                        stage="block_max", inputs=[list_dir], force=force,
+                    ),
+                )
+                return pl, f_ts.result(), f_bm.result()
+
+            f_chain = pool.submit(fused_chain)
+            posting_lists, term_stats, block_max = f_chain.result()
+        else:
+            f_term_stats, f_block_max = submit_standalone(pool)
+            f_compressed = (
+                pool.submit(
+                    timed, "compressed_lists",
+                    lambda: _build_compressed_lists(spark, postings, path, cfg, force),
+                )
+                if cfg.build_compressed
+                else None
             )
-            if cfg.build_compressed
-            else None
-        )
-        term_stats = f_term_stats.result()
-        block_max = f_block_max.result()
-        posting_lists = f_compressed.result() if f_compressed else None
+            term_stats = f_term_stats.result()
+            block_max = f_block_max.result()
+            posting_lists = f_compressed.result() if f_compressed else None
         params = f_params.result()
     phase_sec["parallel_group"] = round(time.time() - t_group0, 2)
 
@@ -738,6 +801,17 @@ _LIST_SCHEMA = StructType(
         StructField("term", StringType(), False),
         StructField("df", LongType(), False),
         StructField("payload", BinaryType(), False),
+        # term_stats / block_max by-products of the merge (see
+        # IndexConfig.fused_term_artifacts): the merge decodes every
+        # term's full (doc_id, tf, impact) arrays anyway, so these are
+        # O(1) extra numpy reductions per term.  Readers of the
+        # compressed lists select (term, df, payload) and never pay for
+        # them (parquet column pruning).
+        StructField("max_impact", DoubleType(), False),
+        StructField("min_impact", DoubleType(), False),
+        StructField("prefix_cutoff", DoubleType(), False),
+        StructField("block_ids", ArrayType(LongType(), False), False),
+        StructField("block_maxes", ArrayType(DoubleType(), False), False),
     ]
 )
 
@@ -784,6 +858,34 @@ def _run_grouped(batches, key_cols: list[str], flush):
     if pending is not None and len(pending):
         cols = {c: pending[c].to_numpy() for c in pending.columns}
         yield pd.DataFrame([flush(cols)])
+
+
+def _derive_term_stats(posting_lists: DataFrame, n_buckets: int) -> DataFrame:
+    """term_stats from the fused posting-list checkpoint — value- and
+    schema-identical to the standalone postings scan (term_bucket is a
+    pure function of the term; the int cast matches the partition-dir
+    type inference of the postings read-back).  Column pruning keeps the
+    payload bytes unread."""
+    return posting_lists.select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("term_bucket"),
+        "df",
+        "max_impact",
+        "min_impact",
+        "prefix_cutoff",
+    )
+
+
+def _derive_block_max(posting_lists: DataFrame) -> DataFrame:
+    """block_max rows from the fused checkpoint's parallel block arrays."""
+    z = posting_lists.select(
+        "term", F.explode(F.arrays_zip("block_ids", "block_maxes")).alias("z")
+    )
+    return z.select(
+        "term",
+        F.col("z.block_ids").alias("block_id"),
+        F.col("z.block_maxes").alias("block_max_impact"),
+    )
 
 
 def _build_compressed_lists(
@@ -897,7 +999,11 @@ def _build_compressed_lists(
         )
         enc_spark = spark.newSession()
         enc_spark.conf.set("spark.sql.files.maxPartitionBytes", str(cap))
+        # openCostInBytes must ride along (ADVICE r6): the clone reverts
+        # to the 4 MiB default otherwise, which exceeds the 2 MiB cap
+        # floor and turns every small postings file into its own task
         for k in ("spark.sql.shuffle.partitions",
+                  "spark.sql.files.openCostInBytes",
                   "spark.sql.parquet.compression.codec",
                   "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"):
             v = spark.conf.get(k, None)
@@ -909,11 +1015,50 @@ def _build_compressed_lists(
         return src.mapInPandas(encode_partials, schema=_PARTIAL_SCHEMA)
 
     def merge_runs(batches):
+        # Merge + stats in one pass: identical bytes to
+        # merge_posting_lists (same decode → stable argsort → encode),
+        # plus the term_stats / block_max columns computed from the
+        # arrays the merge has already decoded — the reason the build
+        # no longer re-scans the postings checkpoint for those stages.
+        import numpy as np
+
+        prefix_len, block_size = cfg.prefix_len, cfg.block_size
+
         def flush(g: dict) -> dict:
+            parts = [
+                decode_posting_list(bytes(x)) for x in g["payload"] if x
+            ] or [decode_posting_list(encode_posting_list([], [], []))]
+            doc_ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            impacts = np.concatenate([p[2] for p in parts])
+            order = np.argsort(doc_ids, kind="stable")
+            doc_ids, tfs, impacts = doc_ids[order], tfs[order], impacts[order]
+            n = len(doc_ids)
+            payload = encode_posting_list(doc_ids, tfs, impacts)
+            if n == 0:  # defensive: runs are never empty in practice
+                return {
+                    "term": g["term"][0], "df": 0, "payload": payload,
+                    "max_impact": 0.0, "min_impact": 0.0,
+                    "prefix_cutoff": 0.0,
+                    "block_ids": np.zeros(0, dtype=np.int64),
+                    "block_maxes": np.zeros(0, dtype=np.float64),
+                }
+            # prefix_cutoff = the B-th largest impact (min over the
+            # row_number()<=B window of the standalone builder; ties at
+            # the boundary share the same value, so sorting by impact
+            # alone is exact)
+            imp_desc = np.sort(impacts)[::-1]
+            bids = doc_ids // block_size
+            starts = np.nonzero(np.r_[True, bids[1:] != bids[:-1]])[0]
             return {
                 "term": g["term"][0],
                 "df": int(g["df_partial"].sum()),
-                "payload": merge_posting_lists([bytes(x) for x in g["payload"]]),
+                "payload": payload,
+                "max_impact": float(imp_desc[0]),
+                "min_impact": float(imp_desc[-1]),
+                "prefix_cutoff": float(imp_desc[min(prefix_len, n) - 1]),
+                "block_ids": bids[starts],
+                "block_maxes": np.maximum.reduceat(impacts, starts),
             }
 
         yield from _run_grouped(batches, ["term"], flush)
@@ -985,6 +1130,7 @@ def _build_compressed_lists(
     # like every other checkpoint stage
     for k in (
         "spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes",
         "spark.sql.parquet.compression.codec",
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         "spark.sql.shuffle.partitions",
@@ -1052,6 +1198,36 @@ def _estimate_params(
         postings, qdf, n_buckets=cfg.n_buckets, co_partition=False,
         driver_terms=sorted({t for _, ts in queries for t in ts}),
     ).where(F.col("score") > 0)
+
+    if (cfg.base_rate_method == "percentile" or cfg.base_rate != "auto") and (
+        n_docs < 500_000 and os.environ.get("BB25_PARAMS_COLLECT", "1") != "0"
+    ):
+        # small-corpus fast path: ONE Arrow collect of the (query_id,
+        # score) sample replaces the distributed chain's ~5 sequential
+        # jobs (cache materialize + stddev agg + 3-job exact percentile
+        # + window base-rate).  Inside the build's parallel group each
+        # of those jobs queued behind the bulk stages' tasks, so the
+        # params phase paid ~2-3× its standalone wall in scheduling
+        # latency alone.  The driver math IS the reference protocol
+        # (scorer.py:313-337) — the same kernel estimators the
+        # mixture/elbow branch already collects for — and the sample is
+        # bounded by the 50 pseudo-queries' nonzero scores.  Above the
+        # cutoff the fully distributed path below is unchanged.
+        pdf = scored.select("query_id", "score").toPandas()
+        if len(pdf) == 0:
+            return TransformParams(alpha=cfg.alpha or 1.0, beta=cfg.beta or 0.0)
+        per_query_scores = [
+            g.to_numpy(dtype=np.float64)
+            for _, g in pdf.groupby("query_id", sort=True)["score"]
+        ]
+        alpha, beta = estimate_alpha_beta(per_query_scores, cfg.alpha, cfg.beta)
+        if cfg.base_rate == "auto":
+            base_rate = estimate_base_rate(per_query_scores, n_docs, "percentile")
+        elif isinstance(cfg.base_rate, (int, float)):
+            base_rate = float(cfg.base_rate)
+        else:
+            base_rate = None
+        return TransformParams(alpha=alpha, beta=beta, base_rate=base_rate)
 
     if cfg.base_rate_method == "percentile" or cfg.base_rate != "auto":
         # fully distributed path: β = exact median, α = 1/std_pop of the

@@ -121,6 +121,45 @@ class TestBuild:
                   for r in b.posting_lists.collect()}
         assert rows_a == rows_b and len(rows_a) > 0
 
+    def test_fused_term_artifacts_equal_standalone_zipf(self, spark, tmp_path):
+        """The fused build (term_stats + block_max derived from the
+        posting-list merge's extra columns — one postings scan instead
+        of three) must produce value- AND schema-identical term_stats /
+        block_max checkpoints, and byte-identical posting lists, vs the
+        standalone per-stage scans, on a Zipf corpus with multi-batch
+        head terms."""
+        import os
+
+        from bayesian_bm25_spark.sources.webcorpus import generate_pages
+
+        pages = generate_pages(spark, 3000, seed=11, num_partitions=8)
+        cfg = dict(alpha=1.0, beta=1.0, base_rate=0.05)
+        a = build_index(
+            spark, pages, str(tmp_path / "fused"),
+            IndexConfig(fused_term_artifacts=True, **cfg),
+        )
+        os.environ["BB25_FUSED_ARTIFACTS"] = "0"
+        try:
+            b = build_index(
+                spark, pages, str(tmp_path / "standalone"),
+                IndexConfig(**cfg),
+            )
+        finally:
+            os.environ.pop("BB25_FUSED_ARTIFACTS", None)
+        assert a.term_stats.schema == b.term_stats.schema
+        assert sorted(map(tuple, a.term_stats.collect())) == sorted(
+            map(tuple, b.term_stats.collect())
+        )
+        assert a.block_max.schema == b.block_max.schema
+        assert sorted(map(tuple, a.block_max.collect())) == sorted(
+            map(tuple, b.block_max.collect())
+        )
+        pl_a = {(r["term"], r["df"], bytes(r["payload"]))
+                for r in a.posting_lists.collect()}
+        pl_b = {(r["term"], r["df"], bytes(r["payload"]))
+                for r in b.posting_lists.collect()}
+        assert pl_a == pl_b and len(pl_a) == 3000
+
     def test_corpus_stats(self, six_index):
         corpus = [tokenize(d) for d in SIX_DOCS]
         assert six_index.n_docs == 6
