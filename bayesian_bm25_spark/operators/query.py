@@ -144,6 +144,15 @@ def score_queries(
     src = postings
     if prune_buckets and n_buckets and "term_bucket" in postings.columns:
         src = prune_query_terms_buckets(postings, qt, n_buckets, driver_terms)
+    # project to the four columns scoring reads BEFORE the exchange /
+    # join probe (guide §2.3): tf/df/term_bucket otherwise ride the
+    # doc_id repartition and widen every probe row.  Projection
+    # preserves partitioning, so a prepartition_for_scoring frame keeps
+    # its exchange-free layout (and the in-memory columnar cache prunes
+    # to the selected columns).
+    score_cols = ["term", "doc_id", "impact", "doc_len"]
+    if set(score_cols) <= set(src.columns):
+        src = src.select(*score_cols)
     if co_partition:
         p = num_partitions or postings.sparkSession.sparkContext.defaultParallelism * 2
         src = src.repartition(p, "doc_id")
@@ -324,6 +333,11 @@ def retrieve_maxscore(
     src = postings
     if n_buckets and "term_bucket" in postings.columns:
         src = prune_query_terms_buckets(postings, qt, n_buckets, driver_terms)
+    # narrow to the scoring columns before every downstream pass /
+    # exchange (guide §2.3) — same projection score_queries applies
+    score_cols = ["term", "doc_id", "impact", "doc_len"]
+    if set(score_cols) <= set(src.columns):
+        src = src.select(*score_cols)
 
     # -- A: θ from impact-ordered prefixes ---------------------------------
     # restrict term_stats to the query batch FIRST (broadcast the tiny
