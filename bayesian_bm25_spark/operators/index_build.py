@@ -9,13 +9,19 @@ the build resumes from any boundary — north rule):
                     → join df per term [shuffle 2, AQE-broadcast when small]
                     → eager impact column (codegen) → laid out by
                     term_bucket = pmod(xxhash64(term), n_buckets)
-      └─ term_stats: df / max_impact per term        (from postings)
-      └─ block_max:  per-(term, block) max impact    (BMW bound table)
-      └─ posting_lists: salted groupBy(term, salt) → sorted delta+
-                    varbyte segments STREAMED through one shuffle into
-                    the term merge (one write; checkpoint_segments=True
-                    restores the two-stage layout)  [north rule storage
-                    tier; queries default to flat postings]
+      └─ posting_lists: map-side varbyte partials → ONE shuffle of
+                    compressed bytes → term merge (one write;
+                    checkpoint_segments=True restores the two-stage
+                    layout)  [north rule storage tier; queries default
+                    to flat postings].  The merge holds every term's
+                    decoded arrays, so it also emits df/max/min impact,
+                    the θ-pass prefix_cutoff and per-block maxima as
+                    extra columns …
+      └─ term_stats: column-pruned derivation of posting_lists (r7
+                    fusion; payload bytes unread).  Standalone postings
+                    scan kept for build_compressed=False / legacy
+                    checkpoints (fused_term_artifacts=False)
+      └─ block_max:  explode of the posting_lists block arrays (same)
       └─ params.json: seeded pseudo-query sampling → α/β/base-rate on
                     the driver (numpy-exact, mirrors reference protocol)
 
