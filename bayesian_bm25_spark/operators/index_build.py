@@ -1203,10 +1203,15 @@ def _estimate_params(
     scored = Q.score_queries(
         postings, qdf, n_buckets=cfg.n_buckets, co_partition=False,
         driver_terms=sorted({t for _, ts in queries for t in ts}),
+        # α/β/base-rate read only the score column — skip the
+        # tf_match/doc_len aggregates (identical scores, ~40% less agg
+        # state; params is the 1M build's critical-path phase)
+        score_only=True,
     ).where(F.col("score") > 0)
 
+    collect_max = int(os.environ.get("BB25_PARAMS_COLLECT_MAX", "500000"))
     if (cfg.base_rate_method == "percentile" or cfg.base_rate != "auto") and (
-        n_docs < 500_000 and os.environ.get("BB25_PARAMS_COLLECT", "1") != "0"
+        n_docs < collect_max and os.environ.get("BB25_PARAMS_COLLECT", "1") != "0"
     ):
         # small-corpus fast path: ONE Arrow collect of the (query_id,
         # score) sample replaces the distributed chain's ~5 sequential

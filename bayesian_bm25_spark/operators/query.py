@@ -122,8 +122,14 @@ def score_queries(
     co_partition: bool = True,
     num_partitions: int | None = None,
     driver_terms: list[str] | None = None,
+    score_only: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id, score, tf_match, doc_len) for every matching doc.
+
+    ``score_only=True`` drops the tf_match / doc_len aggregates (callers
+    that never read them — parameter estimation needs only the score
+    column): ~40% less per-group aggregation state and narrower partial
+    rows through the agg exchange.  The score values are identical.
 
     Inner-join semantics: docs with score 0 never appear (the reference's
     ``scores > 0`` active mask falls out of the join for free,
@@ -150,13 +156,21 @@ def score_queries(
     # preserves partitioning, so a prepartition_for_scoring frame keeps
     # its exchange-free layout (and the in-memory columnar cache prunes
     # to the selected columns).
-    score_cols = ["term", "doc_id", "impact", "doc_len"]
+    score_cols = (
+        ["term", "doc_id", "impact"]
+        if score_only
+        else ["term", "doc_id", "impact", "doc_len"]
+    )
     if set(score_cols) <= set(src.columns):
         src = src.select(*score_cols)
     if co_partition:
         p = num_partitions or postings.sparkSession.sparkContext.defaultParallelism * 2
         src = src.repartition(p, "doc_id")
     joined = src.join(F.broadcast(qt), "term")
+    if score_only:
+        return joined.groupBy("query_id", "doc_id").agg(
+            F.sum(F.col("impact") * F.col("qtf")).alias("score")
+        )
     return joined.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("impact") * F.col("qtf")).alias("score"),
         F.count(F.lit(1)).alias("tf_match"),

@@ -32,12 +32,29 @@ def _open(path: str):
         import io
         import subprocess
 
-        proc = subprocess.Popen(
-            ["zstd", "-d", "-c", path], stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-        )
-        return io.TextIOWrapper(proc.stdout, encoding="utf-8",
-                                errors="replace")
+        try:
+            proc = subprocess.Popen(
+                ["zstd", "-d", "-c", path], stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+            )
+        except FileNotFoundError:
+            raise RuntimeError(
+                "zstd binary not found — install zstd, or re-run the "
+                "bench with spark.eventLog.compress=false "
+                "(BENCH_EVENT_LOG_DIR path does that already)"
+            ) from None
+
+        class _ZstdStream(io.TextIOWrapper):
+            # reap the decompressor on close: a bare TextIOWrapper
+            # close only closes the pipe, leaving a zombie per rolled
+            # part when task_stats walks many logs (ADVICE r6)
+            def close(self):  # noqa: D102
+                try:
+                    super().close()
+                finally:
+                    proc.wait()
+
+        return _ZstdStream(proc.stdout, encoding="utf-8", errors="replace")
     return open(path, encoding="utf-8", errors="replace")
 
 
