@@ -348,8 +348,10 @@ def connected_components(
             .agg(F.min("component").alias("neigh_min"))
         )
         # checkpoint the JOINED frame (old label + neighbor min side by
-        # side) so the convergence probe is a cheap count over the
-        # already-materialized blocks — no second join+shuffle per round
+        # side) so the convergence probe doubles as the materialization:
+        # the LAZY localCheckpoint is computed by the count job itself
+        # (one job per round, not materialize + count), and later reads
+        # (next round's join, the returned labels) hit the stored blocks
         joined = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
@@ -357,7 +359,7 @@ def connected_components(
                 "component",
                 F.coalesce("neigh_min", F.col("component")).alias("neigh_min"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = joined.where(F.col("neigh_min") < F.col("component")).count()
         labels = joined.select(
